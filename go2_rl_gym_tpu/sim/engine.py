@@ -1,0 +1,630 @@
+"""Jitted, vmapped articulated rigid-body dynamics for TPU.
+
+TPU-native replacement for Isaac Gym / PhysX (the reference's closed-source
+CUDA engine driven via ``gym.simulate`` etc., reference
+legged_gym/envs/base/legged_robot.py:82-92).
+
+TPU-first design decisions (what makes this fast, vs. a naive port):
+
+* **Leg-axis batching.** A quadruped is a star of four identical 3-joint
+  chains. All per-body recursions (FK, RNEA, CRBA) are batched over a leg axis
+  of size 4 and unrolled over chain depth 3 — so XLA sees ~10 fused (N,4,...)
+  kernels instead of ~10 ops x 13 bodies of (N,...) ops, and zero scatter
+  updates.
+* **No factorization.** Joints of different legs never co-occur in a kinematic
+  path, so the 18x18 joint-space inertia is [[A (6x6 base), B^T], [B, D]] with
+  D block-diagonal in four 3x3 leg blocks. The solve is a closed-form block
+  Schur complement using explicit 3x3 inverses — pure batched matmuls, no
+  Cholesky/LU (whose sequential triangular updates are slow on TPU).
+* **Impulse-based contacts.** Velocity-level contact solve (the PhysX/TGS
+  analogue): top-K active sphere-vs-heightfield contacts, Baumgarte
+  depenetration capped at max_depenetration_velocity, restitution with a
+  bounce threshold, Coulomb cone projection, implicit compliance, fixed-count
+  relaxed Jacobi iterations. M^-1 J^T comes from the same structured solve.
+* Heightfield lookup uses the reference's min-of-3 semantics
+  (legged_robot.py:1218-1222). Soft URDF joint limits (the reference runs
+  PhysX limits with self-collision disabled, go2_config.py:154). Implicit
+  PD-damping folded into the mass-matrix diagonal for stiff-PD stability at
+  dt=0.005 (reference sim.dt, legged_robot_config.py:243).
+
+All per-env functions are `vmap`-ed in `make_batched_substep`.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from go2_rl_gym_tpu.core import maths
+from go2_rl_gym_tpu.sim.model import RobotModel
+
+NLEG = 4
+DEPTH = 3
+
+
+class SimParams(NamedTuple):
+    """Static simulation parameters (python scalars -> baked into the jit)."""
+    dt: float = 0.005
+    gravity: float = -9.81
+    num_contacts: int = 24           # top-K active contact points per env
+    solver_iters: int = 12           # Jacobi iterations
+    relaxation: float = 0.65
+    baumgarte: float = 0.2
+    contact_slop: float = 0.002      # [m]
+    max_depenetration_velocity: float = 1.0   # PhysX analogue (config:256)
+    bounce_threshold_velocity: float = 0.5    # PhysX analogue (config:255)
+    contact_compliance: float = 2e-4          # CFM-style impulse regularization
+    armature: float = 1e-3
+    joint_limit_stiffness: float = 300.0
+    joint_limit_damping: float = 2.0
+
+
+class SimState(NamedTuple):
+    """Dynamic per-env simulator state (all f32)."""
+    base_pos: jax.Array      # (3,) world
+    base_quat: jax.Array     # (4,) xyzw
+    q: jax.Array             # (12,) joint angles, leg-major FL,FR,RL,RR
+    base_lin_vel: jax.Array  # (3,) world
+    base_ang_vel: jax.Array  # (3,) world
+    qd: jax.Array            # (12,)
+
+
+class SimOutputs(NamedTuple):
+    """Per-substep diagnostics the env layer consumes (world frame)."""
+    contact_forces: jax.Array   # (nb, 3) net contact force per body
+    foot_forces: jax.Array      # (4, 3) force per foot sphere
+    foot_pos: jax.Array         # (4, 3) foot-sphere centers
+    foot_vel: jax.Array         # (4, 3) foot-sphere velocities
+
+
+class DynParams(NamedTuple):
+    """Per-env randomized physical parameters (domain randomization)."""
+    mass: jax.Array          # (nb,)
+    com: jax.Array           # (nb, 3)
+    inertia: jax.Array       # (nb, 3, 3)
+    friction: jax.Array      # () combined ground-robot friction
+    restitution: jax.Array   # () combined restitution in [0, 1]
+
+
+def default_dyn_params(model: RobotModel) -> DynParams:
+    return DynParams(
+        mass=jnp.asarray(model.mass, jnp.float32),
+        com=jnp.asarray(model.com, jnp.float32),
+        inertia=jnp.asarray(model.inertia, jnp.float32),
+        friction=jnp.asarray(1.0, jnp.float32),
+        restitution=jnp.asarray(0.0, jnp.float32),
+    )
+
+
+def ancestor_joint_mask(model: RobotModel) -> np.ndarray:
+    """(nb, nj) bool: joint j moves body b."""
+    nb, nj = model.nb, model.num_joints
+    mask = np.zeros((nb, nj), dtype=bool)
+    for b in range(1, nb):
+        cur = b
+        while cur > 0:
+            mask[b, cur - 1] = True
+            cur = int(model.parent[cur])
+    return mask
+
+
+class QuadLayout(NamedTuple):
+    """Static leg-chain arrays derived from RobotModel (body (l,d) = 1+3l+d)."""
+    axes: np.ndarray        # (NLEG, DEPTH, 3) joint axes in child frame
+    origins: np.ndarray     # (NLEG, DEPTH, 3) joint origins in parent frame
+    anc_mask: np.ndarray    # (nb, 12)
+
+
+def quad_layout(model: RobotModel) -> QuadLayout:
+    assert model.nb == 1 + NLEG * DEPTH, "engine expects base + 4x3 chains"
+    for leg in range(NLEG):
+        for d in range(DEPTH):
+            b = 1 + leg * DEPTH + d
+            expected_parent = 0 if d == 0 else b - 1
+            assert int(model.parent[b]) == expected_parent, "non-chain topology"
+    axes = model.joint_axis.reshape(NLEG, DEPTH, 3)
+    origins = model.joint_origin.reshape(NLEG, DEPTH, 3)
+    return QuadLayout(axes=axes, origins=origins,
+                      anc_mask=ancestor_joint_mask(model))
+
+
+# ---------------------------------------------------------------------------
+# Terrain interface
+# ---------------------------------------------------------------------------
+
+
+class TerrainData(NamedTuple):
+    """Device-resident heightfield. For `flat`, a 2x2 zero grid is used."""
+    height: jax.Array        # (rows, cols) f32 meters
+    horizontal_scale: float
+    border_offset: float     # world xy offset of the grid origin (border_size)
+    is_flat: bool
+
+
+def flat_terrain() -> TerrainData:
+    return TerrainData(height=jnp.zeros((2, 2), jnp.float32),
+                       horizontal_scale=1.0, border_offset=0.0, is_flat=True)
+
+
+def terrain_height(terrain: TerrainData, xy: jax.Array) -> jax.Array:
+    """Min-of-3 height lookup matching reference legged_robot.py:1212-1222."""
+    if terrain.is_flat:
+        return jnp.zeros(xy.shape[:-1], xy.dtype)
+    hs = terrain.height
+    pts = (xy + terrain.border_offset) / terrain.horizontal_scale
+    px = jnp.clip(pts[..., 0].astype(jnp.int32), 0, hs.shape[0] - 2)
+    py = jnp.clip(pts[..., 1].astype(jnp.int32), 0, hs.shape[1] - 2)
+    h1 = hs[px, py]
+    h2 = hs[px + 1, py]
+    h3 = hs[px, py + 1]
+    return jnp.minimum(jnp.minimum(h1, h2), h3)
+
+
+def terrain_normal(terrain: TerrainData, xy: jax.Array) -> jax.Array:
+    """Surface normal from central differences of the heightfield."""
+    if terrain.is_flat:
+        n = jnp.zeros(xy.shape[:-1] + (3,), xy.dtype)
+        return n.at[..., 2].set(1.0)
+    s = terrain.horizontal_scale
+    dx = (terrain_height(terrain, xy + jnp.array([s, 0.0])) -
+          terrain_height(terrain, xy - jnp.array([s, 0.0]))) / (2 * s)
+    dy = (terrain_height(terrain, xy + jnp.array([0.0, s])) -
+          terrain_height(terrain, xy - jnp.array([0.0, s]))) / (2 * s)
+    n = jnp.stack([-dx, -dy, jnp.ones_like(dx)], axis=-1)
+    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Small linear algebra helpers (explicit, batched)
+# ---------------------------------------------------------------------------
+
+
+def inv3(m: jax.Array) -> jax.Array:
+    """Explicit 3x3 inverse via adjugate, batched over leading dims."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H_ = b * g - a * h
+    I_ = a * e - b * d
+    det = a * A + b * D + c * G
+    adj = jnp.stack([A, B, C, D, E, F, G, H_, I_], axis=-1).reshape(m.shape)
+    return adj / det[..., None, None]
+
+
+def inv6_spd(m: jax.Array) -> jax.Array:
+    """6x6 SPD inverse via one level of 3x3 block Schur complement."""
+    P = m[..., :3, :3]
+    Q = m[..., :3, 3:]
+    R = m[..., 3:, 3:]
+    Pi = inv3(P)
+    T = R - jnp.swapaxes(Q, -1, -2) @ Pi @ Q
+    Ti = inv3(T)
+    PiQ = Pi @ Q
+    top_left = Pi + PiQ @ Ti @ jnp.swapaxes(PiQ, -1, -2)
+    top_right = -PiQ @ Ti
+    bot_left = jnp.swapaxes(top_right, -1, -2)
+    top = jnp.concatenate([top_left, top_right], axis=-1)
+    bot = jnp.concatenate([bot_left, Ti], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _spatial_inertia(m, c, I):
+    """(...,6,6) body-frame spatial inertia about body origin (mcI form)."""
+    Sc = maths.skew(c)
+    eye = jnp.broadcast_to(jnp.eye(3), Sc.shape)
+    top = jnp.concatenate([I + m[..., None, None] * (Sc @ jnp.swapaxes(Sc, -1, -2)),
+                           m[..., None, None] * Sc], axis=-1)
+    bot = jnp.concatenate([m[..., None, None] * jnp.swapaxes(Sc, -1, -2),
+                           m[..., None, None] * eye], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _xmat(E, r):
+    """(...,6,6) motion transform parent->child for (omega, v_origin) vectors."""
+    z = jnp.zeros_like(E)
+    top = jnp.concatenate([E, z], axis=-1)
+    bot = jnp.concatenate([-E @ maths.skew(r), E], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _xm(E, r, v):
+    """Apply motion transform: v_child = X v_parent. v: (...,6)."""
+    w, u = v[..., :3], v[..., 3:]
+    wc = jnp.einsum("...ij,...j->...i", E, w)
+    uc = jnp.einsum("...ij,...j->...i", E, u - jnp.cross(r, w))
+    return jnp.concatenate([wc, uc], axis=-1)
+
+
+def _xfT(E, r, f):
+    """Apply X^T to a force vector: f_parent = X^T f_child. f: (...,6)."""
+    n, F = f[..., :3], f[..., 3:]
+    Fp = jnp.einsum("...ji,...j->...i", E, F)
+    np_ = jnp.einsum("...ji,...j->...i", E, n) + jnp.cross(r, Fp)
+    return jnp.concatenate([np_, Fp], axis=-1)
+
+
+def _mcross(v, u):
+    w, vo = v[..., :3], v[..., 3:]
+    w2, vo2 = u[..., :3], u[..., 3:]
+    return jnp.concatenate([jnp.cross(w, w2),
+                            jnp.cross(w, vo2) + jnp.cross(vo, w2)], axis=-1)
+
+
+def _fcross(v, f):
+    w, vo = v[..., :3], v[..., 3:]
+    n, F = f[..., :3], f[..., 3:]
+    return jnp.concatenate([jnp.cross(w, n) + jnp.cross(vo, F),
+                            jnp.cross(w, F)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Leg-batched kinematics
+# ---------------------------------------------------------------------------
+
+
+def forward_kinematics(layout: QuadLayout, state: SimState):
+    """World pose + velocity of all bodies, leg-axis batched.
+
+    Returns dict with R (nb,3,3), p (nb,3), w (nb,3), v (nb,3),
+    axis_w (12,3), joint_pos_w (12,3) — flattened body order
+    [base, FL_hip, FL_thigh, FL_calf, FR_..., RL_..., RR_...].
+    """
+    axes = jnp.asarray(layout.axes, jnp.float32)       # (L,D,3)
+    origins = jnp.asarray(layout.origins, jnp.float32)
+
+    R0 = maths.quat_to_matrix(state.base_quat)
+    q = state.q.reshape(NLEG, DEPTH)
+    qd = state.qd.reshape(NLEG, DEPTH)
+
+    Rs, ps, ws, vs, aw = [], [], [], [], []
+    Rp = jnp.broadcast_to(R0, (NLEG, 3, 3))
+    pp = jnp.broadcast_to(state.base_pos, (NLEG, 3))
+    wp = jnp.broadcast_to(state.base_ang_vel, (NLEG, 3))
+    vp = jnp.broadcast_to(state.base_lin_vel, (NLEG, 3))
+    for d in range(DEPTH):
+        Rj = maths.axis_angle_matrix(axes[:, d], q[:, d])   # (L,3,3)
+        r_w = jnp.einsum("lij,lj->li", Rp, origins[:, d])
+        axis_w = jnp.einsum("lij,lj->li", Rp, axes[:, d])
+        Rc = Rp @ Rj
+        pc = pp + r_w
+        wc = wp + axis_w * qd[:, d:d + 1]
+        vc = vp + jnp.cross(wp, r_w)
+        Rs.append(Rc)
+        ps.append(pc)
+        ws.append(wc)
+        vs.append(vc)
+        aw.append(axis_w)
+        Rp, pp, wp, vp = Rc, pc, wc, vc
+
+    # stack to flat body order: (L, D, ...) -> interleaved 1+3l+d
+    def flat(xs, base):
+        s = jnp.stack(xs, axis=1)        # (L, D, ...)
+        s = s.reshape((NLEG * DEPTH,) + s.shape[2:])
+        return jnp.concatenate([base[None], s], axis=0)
+
+    R = flat(Rs, R0)
+    p = flat(ps, state.base_pos)
+    w = flat(ws, state.base_ang_vel)
+    v = flat(vs, state.base_lin_vel)
+    axis_w = jnp.stack(aw, axis=1).reshape(NLEG * DEPTH, 3)
+    joint_pos_w = p[1:]
+    return R, p, w, v, axis_w, joint_pos_w
+
+
+def geom_positions(model: RobotModel, R: jax.Array, p: jax.Array,
+                   w: jax.Array, v: jax.Array):
+    """World position & velocity of every collision-sphere center."""
+    offs = jnp.asarray(model.geom_offset, jnp.float32)
+    gb = model.geom_body
+    Rg = R[gb]
+    arm = jnp.einsum("gij,gj->gi", Rg, offs)
+    pos = p[gb] + arm
+    vel = v[gb] + jnp.cross(w[gb], arm)
+    return pos, vel
+
+
+# ---------------------------------------------------------------------------
+# Leg-batched CRBA + RNEA with structured (block-Schur) solve
+# ---------------------------------------------------------------------------
+
+
+class StructuredInertia(NamedTuple):
+    """Blocks of H = [[A, B^T],[B, D]] plus precomputed inverses.
+
+    Coordinates: u = (omega_base, v_base) in base frame, then 12 joint rates
+    (leg-major). D is block-diagonal: (L, 3, 3) per-leg blocks.
+    """
+    A: jax.Array        # (6,6)
+    B: jax.Array        # (L,3,6)  joint-rows x base-cols per leg
+    D: jax.Array        # (L,3,3)
+    Dinv: jax.Array     # (L,3,3)
+    Sinv: jax.Array     # (6,6) inverse of A - sum B^T Dinv B
+
+
+def dense_mass_matrix(si: StructuredInertia) -> jax.Array:
+    """Materialize the 18x18 H from blocks (tests / debugging only)."""
+    B = si.B.reshape(NLEG * DEPTH, 6)
+    top = jnp.concatenate([si.A, B.T], axis=1)
+    Dfull = jax.scipy.linalg.block_diag(*[si.D[l] for l in range(NLEG)])
+    bot = jnp.concatenate([B, Dfull], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def structured_solve(si: StructuredInertia, rhs: jax.Array) -> jax.Array:
+    """Solve H x = rhs for rhs (..., 18) or (18, m) — here (18,) or (18, m)."""
+    squeeze = rhs.ndim == 1
+    if squeeze:
+        rhs = rhs[:, None]
+    rb = rhs[:6]                                   # (6,m)
+    rl = rhs[6:].reshape(NLEG, DEPTH, -1)          # (L,3,m)
+    y = jnp.einsum("lij,ljm->lim", si.Dinv, rl)    # (L,3,m)
+    rb2 = rb - jnp.einsum("lji,ljm->im", si.B, y)
+    xb = si.Sinv @ rb2                             # (6,m)
+    xl = jnp.einsum("lij,ljm->lim", si.Dinv,
+                    rl - jnp.einsum("lij,jm->lim", si.B, xb))
+    x = jnp.concatenate([xb, xl.reshape(NLEG * DEPTH, -1)], axis=0)
+    return x[:, 0] if squeeze else x
+
+
+def mass_matrix_and_bias(layout: QuadLayout, params: SimParams, dyn: DynParams,
+                         state: SimState, implicit_damping: jax.Array):
+    """Leg-batched CRBA + RNEA.
+
+    Returns (StructuredInertia, bias (18,), R_base). Dynamics:
+    H du/dt = tau_gen - bias in coords u = (omega_b, v_b base-frame, qd).
+    """
+    axes = jnp.asarray(layout.axes, jnp.float32)      # (L,D,3)
+    origins = jnp.asarray(layout.origins, jnp.float32)
+    q = state.q.reshape(NLEG, DEPTH)
+    qd = state.qd.reshape(NLEG, DEPTH)
+
+    Rbase = maths.quat_to_matrix(state.base_quat)
+    w0 = Rbase.T @ state.base_ang_vel
+    u0 = Rbase.T @ state.base_lin_vel
+    v_base = jnp.concatenate([w0, u0])
+
+    # spatial inertias (leg-shaped)
+    mass = dyn.mass
+    com = dyn.com
+    inert = dyn.inertia
+    I_base = _spatial_inertia(mass[0], com[0], inert[0])
+    mass_l = mass[1:].reshape(NLEG, DEPTH)
+    com_l = com[1:].reshape(NLEG, DEPTH, 3)
+    inert_l = inert[1:].reshape(NLEG, DEPTH, 3, 3)
+    I_l = [_spatial_inertia(mass_l[:, d], com_l[:, d], inert_l[:, d])
+           for d in range(DEPTH)]                      # each (L,6,6)
+
+    # chain transforms
+    E, r, X, S, v = [], [], [], [], []
+    vp = jnp.broadcast_to(v_base, (NLEG, 6))
+    for d in range(DEPTH):
+        Rj = maths.axis_angle_matrix(axes[:, d], q[:, d])
+        Ed = jnp.swapaxes(Rj, -1, -2)
+        rd = origins[:, d]
+        E.append(Ed)
+        r.append(rd)
+        X.append(_xmat(Ed, rd))
+        Sd = jnp.concatenate([axes[:, d], jnp.zeros((NLEG, 3))], axis=-1)
+        S.append(Sd)
+        vd = _xm(Ed, rd, vp) + Sd * qd[:, d:d + 1]
+        v.append(vd)
+        vp = vd
+
+    # ---- RNEA bias (qdd = 0; gravity folded in as base acceleration) ----
+    g_base = Rbase.T @ jnp.array([0.0, 0.0, params.gravity])
+    a_base = jnp.concatenate([jnp.zeros(3), -g_base])
+    a = []
+    ap = jnp.broadcast_to(a_base, (NLEG, 6))
+    for d in range(DEPTH):
+        ad = _xm(E[d], r[d], ap) + _mcross(v[d], S[d] * qd[:, d:d + 1])
+        a.append(ad)
+        ap = ad
+    f = [jnp.einsum("lij,lj->li", I_l[d], a[d]) +
+         _fcross(v[d], jnp.einsum("lij,lj->li", I_l[d], v[d]))
+         for d in range(DEPTH)]
+    f_base = I_base @ a_base + _fcross(v_base, I_base @ v_base)
+
+    bias_l = jnp.zeros((NLEG, DEPTH))
+    fd = f[DEPTH - 1]
+    for d in range(DEPTH - 1, -1, -1):
+        bias_l = bias_l.at[:, d].set(jnp.einsum("li,li->l", S[d], fd))
+        fd_up = _xfT(E[d], r[d], fd)
+        if d > 0:
+            fd = f[d - 1] + fd_up
+        else:
+            f_base = f_base + jnp.sum(fd_up, axis=0)
+    bias = jnp.concatenate([f_base, bias_l.reshape(-1)])
+
+    # ---- CRBA ----
+    Icc = [None] * DEPTH
+    Icc[DEPTH - 1] = I_l[DEPTH - 1]
+    for d in range(DEPTH - 2, -1, -1):
+        XT = jnp.swapaxes(X[d + 1], -1, -2)
+        Icc[d] = I_l[d] + XT @ Icc[d + 1] @ X[d + 1]
+    XT0 = jnp.swapaxes(X[0], -1, -2)
+    A = I_base + jnp.sum(XT0 @ Icc[0] @ X[0], axis=0)
+
+    # joint blocks: propagate F = Icc_d S_d down to base
+    Dblk = jnp.zeros((NLEG, DEPTH, DEPTH))
+    Bblk = jnp.zeros((NLEG, DEPTH, 6))
+    for d in range(DEPTH):
+        F = jnp.einsum("lij,lj->li", Icc[d], S[d])     # (L,6)
+        Dblk = Dblk.at[:, d, d].set(jnp.einsum("li,li->l", S[d], F))
+        for dd in range(d - 1, -1, -1):
+            F = _xfT(E[dd + 1], r[dd + 1], F)
+            val = jnp.einsum("li,li->l", S[dd], F)
+            Dblk = Dblk.at[:, d, dd].set(val)
+            Dblk = Dblk.at[:, dd, d].set(val)
+        F = _xfT(E[0], r[0], F)
+        Bblk = Bblk.at[:, d, :].set(F)
+
+    diag_add = (params.dt * implicit_damping + params.armature).reshape(NLEG, DEPTH)
+    Dblk = Dblk + jnp.eye(DEPTH) * diag_add[:, :, None]
+
+    Dinv = inv3(Dblk)
+    Smat = A - jnp.einsum("lji,ljk,lkm->im", Bblk, Dinv, Bblk)
+    Sinv = inv6_spd(Smat)
+    si = StructuredInertia(A=A, B=Bblk, D=Dblk, Dinv=Dinv, Sinv=Sinv)
+    return si, bias, Rbase
+
+
+# ---------------------------------------------------------------------------
+# Contact impulse solver + substep
+# ---------------------------------------------------------------------------
+
+
+def _tangent_basis(n: jax.Array):
+    ref = jnp.where(jnp.abs(n[..., 2:3]) < 0.9,
+                    jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), n.shape),
+                    jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), n.shape))
+    t1 = jnp.cross(n, ref)
+    t1 = t1 / (jnp.linalg.norm(t1, axis=-1, keepdims=True) + 1e-9)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def substep(model: RobotModel, layout: QuadLayout, params: SimParams,
+            dyn: DynParams, terrain: TerrainData, state: SimState,
+            tau: jax.Array, implicit_damping: jax.Array):
+    """One dt physics substep for a single env (vmap outside).
+
+    tau: (12,) joint torques (already clipped to effort limits by the caller).
+    """
+    dt = params.dt
+    K = params.num_contacts
+
+    R, p, w, vlin, axis_w, joint_pos_w = forward_kinematics(layout, state)
+    gpos, gvel = geom_positions(model, R, p, w, vlin)
+
+    # ---- joint limits: stiff spring made implicit by folding k*dt (the
+    # linearized spring rate) plus extra damping into the mass-matrix
+    # diagonal, so a hard limit (300 N*m/rad) stays stable at dt=0.005 ----
+    lo = jnp.asarray(model.dof_lower, jnp.float32)
+    hi = jnp.asarray(model.dof_upper, jnp.float32)
+    viol_lo = jnp.maximum(lo - state.q, 0.0)
+    viol_hi = jnp.maximum(state.q - hi, 0.0)
+    in_viol = ((viol_lo > 0) | (viol_hi > 0)).astype(jnp.float32)
+    # implicit-Euler spring: (M + (k dt + d) dt) qdd = tau - k(q-b) - k dt qd
+    tau_lim = (params.joint_limit_stiffness * (viol_lo - viol_hi)
+               - params.joint_limit_stiffness * dt * state.qd * in_viol)
+    tau_tot = tau + tau_lim
+    damping_eff = implicit_damping + in_viol * (
+        params.joint_limit_stiffness * dt + params.joint_limit_damping)
+
+    # ---- free dynamics ----
+    si, bias, Rbase = mass_matrix_and_bias(layout, params, dyn, state,
+                                           damping_eff)
+    tau_gen = jnp.concatenate([jnp.zeros(6), tau_tot])
+
+    # ---- contact candidates: top-K most penetrating ----
+    radius = jnp.asarray(model.geom_radius, jnp.float32)
+    h = terrain_height(terrain, gpos[..., :2])
+    gap = gpos[..., 2] - radius - h
+    neg_gap, cidx = jax.lax.top_k(-gap, K)
+    cpos = gpos[cidx]
+    cvel = gvel[cidx]
+    cbody = jnp.asarray(model.geom_body)[cidx]
+    n = terrain_normal(terrain, cpos[..., :2])
+    active = neg_gap > -1e-4
+    pen = jnp.maximum(neg_gap, 0.0)
+    t1, t2 = _tangent_basis(n)
+
+    # ---- contact jacobian in u = (omega_b, v_b base-frame, qd) coords ----
+    r_c = cpos - state.base_pos
+    Jw = -jnp.einsum("kab,bc->kac", maths.skew(r_c), Rbase)
+    Jv = jnp.broadcast_to(Rbase, (K, 3, 3))
+    arm_j = cpos[:, None, :] - joint_pos_w[None, :, :]         # (K,12,3)
+    col_j = jnp.cross(jnp.broadcast_to(axis_w[None], arm_j.shape), arm_j)
+    amask = jnp.asarray(layout.anc_mask)[cbody]                 # (K,12)
+    Jq = (col_j * amask[..., None]).transpose(0, 2, 1)          # (K,3,12)
+    J = jnp.concatenate([Jw, Jv, Jq], axis=-1)                  # (K,3,18)
+
+    frame = jnp.stack([n, t1, t2], axis=1)                      # (K,3,3)
+    Jc = jnp.einsum("kfa,kae->kfe", frame, J)                   # (K,3,18)
+    Jc_flat = Jc.reshape(K * 3, 18)
+
+    # ---- one structured solve serves free motion + contact mass ----
+    rhs = jnp.concatenate([(tau_gen - bias)[:, None], Jc_flat.T], axis=1)
+    sol = structured_solve(si, rhs)
+    du_free = sol[:, 0]
+    Binv = sol[:, 1:].T                                         # (3K,18)
+
+    w_b = Rbase.T @ state.base_ang_vel
+    u_b = Rbase.T @ state.base_lin_vel
+    u_cur = jnp.concatenate([w_b, u_b, state.qd])
+    u_free = u_cur + dt * du_free
+
+    d_diag = jnp.sum(Jc_flat * Binv, axis=1).reshape(K, 3) + params.contact_compliance
+    inv_d = 1.0 / d_diag
+
+    vn0 = jnp.sum(cvel * n, axis=-1)
+    push = jnp.minimum(params.baumgarte * jnp.maximum(pen - params.contact_slop, 0.0) / dt,
+                       params.max_depenetration_velocity)
+    bounce = jnp.where(-vn0 > params.bounce_threshold_velocity,
+                       -dyn.restitution * vn0, 0.0)
+    v_target_n = jnp.maximum(push, bounce)
+    mu = dyn.friction
+
+    Bmat = Binv.reshape(K, 3, 18)
+
+    def solver_body(_, lam):
+        du = jnp.einsum("kfe,kf->e", Bmat, lam)
+        v_now = jnp.einsum("kfe,e->kf", Jc, u_free + du)
+        dlam_n = (v_target_n - v_now[:, 0]) * inv_d[:, 0]
+        lam_n = jnp.maximum(lam[:, 0] + params.relaxation * dlam_n, 0.0)
+        lam_n = jnp.where(active, lam_n, 0.0)
+        dlam_t = -v_now[:, 1:] * inv_d[:, 1:]
+        lam_t = lam[:, 1:] + params.relaxation * dlam_t
+        t_norm = jnp.linalg.norm(lam_t, axis=-1, keepdims=True)
+        max_t = mu * lam_n[:, None]
+        scale = jnp.minimum(1.0, max_t / (t_norm + 1e-9))
+        lam_t = lam_t * scale * active[:, None]
+        return jnp.concatenate([lam_n[:, None], lam_t], axis=1)
+
+    lam = jax.lax.fori_loop(0, params.solver_iters, solver_body,
+                            jnp.zeros((K, 3)))
+
+    u_new = u_free + jnp.einsum("kfe,kf->e", Bmat, lam)
+
+    # ---- integrate (semi-implicit Euler) ----
+    new_ang = Rbase @ u_new[:3]
+    new_lin = Rbase @ u_new[3:6]
+    new_qd = u_new[6:]
+    new_pos = state.base_pos + dt * new_lin
+    new_quat = maths.quat_integrate(state.base_quat, new_ang, dt)
+    new_q = state.q + dt * new_qd
+    new_state = SimState(new_pos, new_quat, new_q, new_lin, new_ang, new_qd)
+
+    # ---- diagnostics (world frame) ----
+    f_contact = jnp.einsum("kf,kfa->ka", lam, frame) / dt
+    body_forces = jnp.zeros((model.nb, 3)).at[cbody].add(f_contact)
+    foot_idx = jnp.asarray(model.foot_geom_idx)
+    is_foot = (cidx[None, :] == foot_idx[:, None]).astype(jnp.float32)
+    foot_forces = jnp.einsum("fk,ka->fa", is_foot, f_contact)
+    outputs = SimOutputs(
+        contact_forces=body_forces,
+        foot_forces=foot_forces,
+        foot_pos=gpos[foot_idx],
+        foot_vel=gvel[foot_idx],
+    )
+    return new_state, outputs
+
+
+def make_batched_substep(model: RobotModel, params: SimParams, terrain: TerrainData):
+    """vmapped substep over (DynParams, SimState, tau, implicit_damping)."""
+    layout = quad_layout(model)
+
+    def _one(dyn, state, tau, implicit_damping):
+        return substep(model, layout, params, dyn, terrain, state, tau,
+                       implicit_damping)
+
+    return jax.vmap(_one)
