@@ -1,0 +1,58 @@
+"""Headline benchmark: fused-train-step throughput on the flagship task.
+
+Runs the complete go2_moe_cts training iteration (24-step rollout with
+4x-decimation physics on full rough terrain + 5x4-minibatch PPO + distillation)
+at 4096 envs on one chip and reports environment steps per second.
+
+Prints ONE JSON line. vs_baseline is measured against the per-chip target from
+BASELINE.json (5M aggregate env-steps/s on a 16-chip v5p == 312.5k/chip).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PER_CHIP_TARGET = 5_000_000 / 16.0
+
+
+def main():
+    import jax
+    from go2_rl_gym_tpu.env.config import Go2Cfg, go2_moe_cts_train_cfg
+    from go2_rl_gym_tpu.env.go2_env import Go2Env
+    from go2_rl_gym_tpu.train.runner import OnPolicyRunner
+
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    cfg = Go2Cfg()
+    cfg.env.num_envs = num_envs
+    tc = go2_moe_cts_train_cfg()
+
+    env = Go2Env(cfg, num_steps_per_env=tc.runner.num_steps_per_env)
+    runner = OnPolicyRunner(env, tc, log_dir=None)
+    rs = runner.init_runner_state(jax.random.PRNGKey(0),
+                                  init_at_random_ep_len=True)
+
+    # warmup/compile
+    rs, m = runner._train_step(rs)
+    jax.block_until_ready(rs.train_state)
+
+    t0 = time.time()
+    for _ in range(iters):
+        rs, m = runner._train_step(rs)
+    jax.block_until_ready(rs.train_state)
+    dt = time.time() - t0
+
+    steps_per_s = iters * tc.runner.num_steps_per_env * num_envs / dt
+    print(json.dumps({
+        "metric": "env_steps_per_s_per_chip",
+        "value": round(steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_s / PER_CHIP_TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,271 @@
+"""MuJoCo sim2sim evaluation — cross-simulator validation + RoboGauge-style
+scoring.
+
+Counterpart of reference deploy/deploy_mujoco/deploy_go2.py:63-275 (headless):
+500 Hz MuJoCo physics (simulation_dt=0.002), 50 Hz policy
+(control_decimation=10), host-side PD ``tau = (q* - q) kp - qd kd``
+(deploy_go2.py:45-47), and the exact 45-dim observation assembly of the
+training env (deploy_go2.py:226-231). Policies can be TorchScript exports
+(reference-compatible, including MoE's ``action, (weights, latent)`` tuples)
+or native param callables.
+
+The reference scores policies through the external RoboGauge HTTP service
+(on_policy_runner.py:252-295) whose scorer is closed; `evaluate_policy` is an
+in-repo replacement producing per-command tracking / safety / quality scores
+in [0, 1] over a command sweep, in the spirit of the README score table
+(reference README.md:56-67).
+"""
+from __future__ import annotations
+
+import math
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+GO2_SCENES = {
+    "flat": "flat.xml",
+    "stairs": "stairs.xml",
+    "race_track": "race_track.xml",
+    "cross_stairs": "cross_stairs.xml",
+    "cross_slope": "cross_slope.xml",
+}
+
+_SCENE_ROOTS = (
+    os.environ.get("GO2_SCENE_ROOT", ""),
+    "/root/reference/resources/robots/go2",
+)
+
+DEFAULT_ANGLES = np.array([0.1, 0.8, -1.5, -0.1, 0.8, -1.5,
+                           0.1, 1.0, -1.5, -0.1, 1.0, -1.5], np.float32)
+
+
+def find_scene(name: str) -> str:
+    fname = GO2_SCENES.get(name, name)
+    for root in _SCENE_ROOTS:
+        if root and os.path.exists(os.path.join(root, fname)):
+            return os.path.join(root, fname)
+    raise FileNotFoundError(f"scene {name} not found; set GO2_SCENE_ROOT")
+
+
+def load_scene_model(name: str):
+    """Load an MJCF scene, dropping *visual* meshes whose .obj files are
+    missing from the asset tree (physics geoms are primitives and unaffected)."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    import mujoco
+
+    path = find_scene(name)
+    scene_dir = os.path.dirname(path)
+
+    def collect(p, seen):
+        tree = ET.parse(p)
+        root = tree.getroot()
+        missing = set()
+        meshdir = "assets"
+        for comp in root.iter("compiler"):
+            meshdir = comp.get("meshdir", meshdir)
+        for mesh in root.iter("mesh"):
+            f = mesh.get("file")
+            if f and not os.path.exists(os.path.join(scene_dir, meshdir, f)):
+                missing.add(mesh.get("name") or os.path.splitext(f)[0])
+        return missing
+
+    missing = set()
+    main_xml = open(path).read()
+    missing |= collect(path, missing)
+    for inc in re.findall(r'<include\s+file="([^"]+)"', main_xml):
+        missing |= collect(os.path.join(scene_dir, inc), missing)
+    if not missing:
+        return mujoco.MjModel.from_xml_path(path)
+
+    def strip(p):
+        tree = ET.parse(p)
+        root = tree.getroot()
+        for parent in root.iter():
+            for child in list(parent):
+                if child.tag == "mesh":
+                    nm = child.get("name") or os.path.splitext(
+                        child.get("file", ""))[0]
+                    if nm in missing:
+                        parent.remove(child)
+                elif child.tag == "geom" and child.get("mesh") in missing:
+                    parent.remove(child)
+        return ET.tostring(root, encoding="unicode")
+
+    # inline includes with stripped content
+    xml = strip(path)
+
+    def repl(match):
+        return ""
+    assets = {}
+    for inc in re.findall(r'<include\s+file="([^"]+)"\s*/>', xml):
+        assets[inc] = strip(os.path.join(scene_dir, inc)).encode()
+    # collect referenced asset files
+    for root_, _, files in os.walk(scene_dir):
+        for f in files:
+            if f.endswith((".obj", ".png", ".stl")):
+                rel = os.path.relpath(os.path.join(root_, f), scene_dir)
+                # mujoco keys assets by basename; one entry per file name
+                with open(os.path.join(root_, f), "rb") as fh:
+                    assets.setdefault(f, fh.read())
+    return mujoco.MjModel.from_xml_string(xml, assets)
+
+
+def gravity_orientation(quat_wxyz):
+    """Projected gravity from a wxyz quaternion: [0,0,-1] when upright
+    (matches the reference deploy helper; deploy_go2.py get_gravity_orientation)."""
+    w, x, y, z = quat_wxyz
+    return np.array([
+        2 * (-z * x + w * y),
+        -2 * (z * y + w * x),
+        1 - 2 * (w * w + z * z),
+    ], np.float32)
+
+
+def quat_rotate_inverse_wxyz(q, v):
+    w, x, y, z = q
+    q_vec = np.array([x, y, z])
+    a = v * (2.0 * w * w - 1.0)
+    b = np.cross(q_vec, v) * w * 2.0
+    c = q_vec * np.dot(q_vec, v) * 2.0
+    return a - b + c
+
+
+class TorchPolicy:
+    """Wraps a TorchScript export (ours or the reference's)."""
+
+    def __init__(self, path: str):
+        import torch
+        self.torch = torch
+        self.policy = torch.jit.load(path)
+        if hasattr(self.policy, "reset"):
+            self.policy.reset()
+
+    def __call__(self, obs: np.ndarray) -> np.ndarray:
+        t = self.torch.from_numpy(obs.astype(np.float32)).unsqueeze(0)
+        with self.torch.no_grad():
+            result = self.policy(t)
+        if isinstance(result, tuple):
+            result = result[0]
+        return result.detach().cpu().numpy().squeeze()
+
+
+class JaxPolicy:
+    """Single-env student-path inference from native params."""
+
+    def __init__(self, params, family: str, policy_cfg, history_length=5,
+                 num_obs=45):
+        import jax
+        import jax.numpy as jnp
+        from go2_rl_gym_tpu.agents.networks import make_cts_model
+        model = make_cts_model(family, num_obs, 263, 12, policy_cfg,
+                               history_length)
+        self.history = np.zeros((1, history_length, num_obs), np.float32)
+
+        @jax.jit
+        def infer(params, obs, history):
+            lat, _ = model.apply(params, history.reshape(1, -1),
+                                 method="s_latent")
+            mu, _, _ = model.apply(params, lat, obs, method="dist")
+            return mu
+        self._infer = infer
+        self.params = params
+        self._jnp = jnp
+
+    def __call__(self, obs: np.ndarray) -> np.ndarray:
+        self.history = np.concatenate(
+            [self.history[:, 1:], obs[None, None, :]], axis=1)
+        mu = self._infer(self.params, self._jnp.asarray(obs[None]),
+                         self._jnp.asarray(self.history))
+        return np.asarray(mu)[0]
+
+
+def run_episode(policy: Callable, scene: str = "flat",
+                cmd=(1.0, 0.0, 0.0), duration_s: float = 10.0,
+                simulation_dt: float = 0.002, control_decimation: int = 10,
+                kp: float = 20.0, kd: float = 0.5, action_scale: float = 0.25,
+                seed: int = 0) -> Dict[str, float]:
+    """One sim2sim episode. Returns tracking/safety metrics."""
+    import mujoco
+
+    m = load_scene_model(scene)
+    m.opt.timestep = simulation_dt
+    d = mujoco.MjData(m)
+    cmd = np.asarray(cmd, np.float32)
+    cmd_scale = np.array([2.0, 2.0, 0.25], np.float32)
+
+    action = np.zeros(12, np.float32)
+    target = DEFAULT_ANGLES.copy()
+    obs = np.zeros(45, np.float32)
+
+    n_steps = int(duration_s / simulation_dt)
+    vel_errs: List[float] = []
+    ang_errs: List[float] = []
+    heights: List[float] = []
+    action_rates: List[float] = []
+    fell = False
+    last_action = np.zeros(12, np.float32)
+
+    for counter in range(n_steps):
+        tau = (target - d.qpos[7:]) * kp - d.qvel[6:] * kd
+        d.ctrl[:] = tau
+        mujoco.mj_step(m, d)
+
+        if counter % control_decimation == 0:
+            quat = d.qpos[3:7]  # wxyz in mujoco
+            qj = (d.qpos[7:] - DEFAULT_ANGLES) * 1.0
+            dqj = d.qvel[6:] * 0.05
+            ang_vel = d.qvel[3:6] * 0.25
+            grav = gravity_orientation(quat)
+            obs[0:3] = ang_vel
+            obs[3:6] = grav
+            obs[6:9] = cmd * cmd_scale
+            obs[9:21] = qj
+            obs[21:33] = dqj
+            obs[33:45] = action
+            last_action = action
+            action = policy(obs.copy())
+            target = action * action_scale + DEFAULT_ANGLES
+
+            # metrics (body-frame velocities)
+            v_local = quat_rotate_inverse_wxyz(quat, d.qvel[:3].copy())
+            vel_errs.append(float(np.linalg.norm(cmd[:2] - v_local[:2])))
+            ang_errs.append(float(abs(cmd[2] - d.qvel[5])))
+            heights.append(float(d.qpos[2]))
+            action_rates.append(float(np.abs(action - last_action).mean()))
+            if grav[2] > -0.3 or d.qpos[2] < 0.12:   # flipped or collapsed
+                fell = True
+                break
+
+    vel_err = float(np.mean(vel_errs)) if vel_errs else 10.0
+    ang_err = float(np.mean(ang_errs)) if ang_errs else 10.0
+    return {
+        "tracking": math.exp(-vel_err / 0.25) * math.exp(-ang_err / 0.5),
+        "safety": 0.0 if fell else 1.0,
+        "quality": math.exp(-float(np.mean(action_rates or [1.0]))),
+        "mean_height": float(np.mean(heights)) if heights else 0.0,
+        "vel_err": vel_err,
+        "ang_err": ang_err,
+        "fell": float(fell),
+        "survived_s": len(vel_errs) * simulation_dt * control_decimation,
+    }
+
+
+def evaluate_policy(policy_factory: Callable[[], Callable],
+                    scenes=("flat",),
+                    commands=((1.0, 0.0, 0.0), (-0.5, 0.0, 0.0),
+                              (0.5, 0.3, 0.0), (0.0, 0.0, 1.0)),
+                    duration_s: float = 8.0) -> Dict[str, float]:
+    """Command/scene sweep -> aggregate scores (RoboGauge-style overall)."""
+    rows = []
+    for scene in scenes:
+        for cmd in commands:
+            policy = policy_factory()   # fresh history per episode
+            rows.append(run_episode(policy, scene, cmd, duration_s))
+    agg = {k: float(np.mean([r[k] for r in rows]))
+           for k in ("tracking", "safety", "quality")}
+    agg["overall"] = (agg["tracking"] + agg["safety"] + agg["quality"]) / 3.0
+    agg["episodes"] = len(rows)
+    return agg

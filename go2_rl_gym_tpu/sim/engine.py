@@ -375,6 +375,117 @@ def structured_solve(si: StructuredInertia, rhs: jax.Array) -> jax.Array:
     return x[:, 0] if squeeze else x
 
 
+def world_dynamics(layout: QuadLayout, params: SimParams, dyn: DynParams,
+                   state: SimState, implicit_damping: jax.Array,
+                   fk=None):
+    """World-frame dynamics via COM Jacobians — the TPU-fast formulation.
+
+    Generalized coordinates u = (omega_world, v_base_origin_world, qd). The
+    mass matrix is H = sum_b J6_b^T diag(m_b I3, I_w_b) J6_b where J6_b stacks
+    the body-b COM linear Jacobian and angular Jacobian — TWO large batched
+    einsums over all 13 bodies instead of ~10 ops x 13 bodies of 6x6 spatial
+    transforms (the classic body-frame CRBA creates hundreds of small
+    non-fusable kernels on TPU; this creates ~10). The bias is recursive
+    Newton-Euler: velocity-product accelerations from 3-level leg-batched
+    recursions, gyroscopic torques, gravity — all (N,13,3)-shaped elementwise
+    math, then one J^T f contraction.
+
+    Returns (StructuredInertia, bias, fk_results). Equation of motion:
+    H du/dt = tau_gen - bias.
+    """
+    if fk is None:
+        fk = forward_kinematics(layout, state)
+    R, p, w, v, axis_w, joint_pos_w = fk
+    nb = NLEG * DEPTH + 1
+    nj = NLEG * DEPTH
+
+    q = state.q.reshape(NLEG, DEPTH)
+    qd = state.qd.reshape(NLEG, DEPTH)
+    O = state.base_pos
+
+    # world-frame COM positions and rotational inertias
+    com_w = p + jnp.einsum("bij,bj->bi", R, dyn.com)            # (nb,3)
+    I_w = jnp.einsum("bij,bjk,blk->bil", R, dyn.inertia, R)      # (nb,3,3)
+
+    # ---- bias accelerations (qdd = 0): 3-level leg-batched recursion ----
+    w_leg = w[1:].reshape(NLEG, DEPTH, 3)
+    p_leg = p[1:].reshape(NLEG, DEPTH, 3)
+    a_leg = axis_w.reshape(NLEG, DEPTH, 3)
+    w0 = state.base_ang_vel
+
+    wdot = []          # (L,3) per depth
+    apt = []           # accel of body-origin points
+    wdot_p = jnp.zeros((NLEG, 3))
+    # base point-acceleration field evaluated at the hip joint origins
+    r0 = p_leg[:, 0] - O
+    apt_p = jnp.cross(w0, jnp.cross(w0, r0))
+    w_p = jnp.broadcast_to(w0, (NLEG, 3))
+    pp = p_leg[:, 0]
+    for d in range(DEPTH):
+        wdot_c = wdot_p + jnp.cross(w_p, a_leg[:, d]) * qd[:, d:d + 1]
+        wdot.append(wdot_c)
+        apt.append(apt_p)
+        if d + 1 < DEPTH:
+            r = p_leg[:, d + 1] - pp
+            w_c = w_leg[:, d]
+            apt_p = apt_p + jnp.cross(wdot_c, r) + jnp.cross(w_c, jnp.cross(w_c, r))
+            w_p = w_c
+            wdot_p = wdot_c
+            pp = p_leg[:, d + 1]
+
+    wdot_all = jnp.concatenate(
+        [jnp.zeros((1, 3)), jnp.stack(wdot, 1).reshape(nj, 3)], axis=0)
+    apt_all = jnp.concatenate(
+        [jnp.zeros((1, 3)), jnp.stack(apt, 1).reshape(nj, 3)], axis=0)
+
+    # COM accelerations (velocity products only)
+    r_com = com_w - p
+    a_com = (apt_all + jnp.cross(wdot_all, r_com)
+             + jnp.cross(w, jnp.cross(w, r_com)))
+
+    # ---- Newton-Euler bias forces (world, about COM) ----
+    gvec = jnp.array([0.0, 0.0, params.gravity])
+    F_b = dyn.mass[:, None] * (a_com - gvec)                     # (nb,3)
+    Iw_w = jnp.einsum("bij,bj->bi", I_w, w)
+    N_b = jnp.einsum("bij,bj->bi", I_w, wdot_all) + jnp.cross(w, Iw_w)
+
+    # ---- Jacobians (closed form) ----
+    # J_vcom rows: d v_com / d(omega0) = -S(com - O); d/d v0 = I;
+    #              d/d qd_j = a_j x (com - p_j) (ancestors only)
+    # J_w rows:    d w / d(omega0) = I; d/d qd_j = a_j
+    anc = jnp.asarray(layout.anc_mask, jnp.float32)              # (nb, nj)
+    arm_com = com_w[:, None, :] - joint_pos_w[None, :, :]        # (nb,nj,3)
+    Jq_v = jnp.cross(jnp.broadcast_to(axis_w[None], arm_com.shape),
+                     arm_com) * anc[..., None]                   # (nb,nj,3)
+    Jq_w = jnp.broadcast_to(axis_w[None], (nb, nj, 3)) * anc[..., None]
+
+    eye3 = jnp.broadcast_to(jnp.eye(3), (nb, 3, 3))
+    Jv = jnp.concatenate([-maths.skew(com_w - O), eye3,
+                          Jq_v.transpose(0, 2, 1)], axis=-1)     # (nb,3,18)
+    Jw = jnp.concatenate([eye3, jnp.zeros((nb, 3, 3)),
+                          Jq_w.transpose(0, 2, 1)], axis=-1)     # (nb,3,18)
+
+    # ---- bias + mass matrix as large contractions ----
+    bias = (jnp.einsum("bae,ba->e", Jv, F_b)
+            + jnp.einsum("bae,ba->e", Jw, N_b))
+    H = (jnp.einsum("b,bae,baf->ef", dyn.mass, Jv, Jv)
+         + jnp.einsum("bae,bac,bcf->ef", Jw, I_w, Jw))
+
+    diag_add = params.dt * implicit_damping + params.armature
+    H = H + jnp.diag(jnp.concatenate([jnp.zeros(6), diag_add]))
+
+    # ---- block extraction for the Schur solve ----
+    A = H[:6, :6]
+    B = jnp.stack([H[6 + 3 * l:9 + 3 * l, :6] for l in range(NLEG)])
+    Dblk = jnp.stack([H[6 + 3 * l:9 + 3 * l, 6 + 3 * l:9 + 3 * l]
+                      for l in range(NLEG)])
+    Dinv = inv3(Dblk)
+    Smat = A - jnp.einsum("lji,ljk,lkm->im", B, Dinv, B)
+    Sinv = inv6_spd(Smat)
+    si = StructuredInertia(A=A, B=B, D=Dblk, Dinv=Dinv, Sinv=Sinv)
+    return si, bias, fk
+
+
 def mass_matrix_and_bias(layout: QuadLayout, params: SimParams, dyn: DynParams,
                          state: SimState, implicit_damping: jax.Array):
     """Leg-batched CRBA + RNEA.
@@ -502,7 +613,8 @@ def substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     dt = params.dt
     K = params.num_contacts
 
-    R, p, w, vlin, axis_w, joint_pos_w = forward_kinematics(layout, state)
+    fk = forward_kinematics(layout, state)
+    R, p, w, vlin, axis_w, joint_pos_w = fk
     gpos, gvel = geom_positions(model, R, p, w, vlin)
 
     # ---- joint limits: stiff spring made implicit by folding k*dt (the
@@ -520,9 +632,8 @@ def substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     damping_eff = implicit_damping + in_viol * (
         params.joint_limit_stiffness * dt + params.joint_limit_damping)
 
-    # ---- free dynamics ----
-    si, bias, Rbase = mass_matrix_and_bias(layout, params, dyn, state,
-                                           damping_eff)
+    # ---- free dynamics (world coords u = (omega_w, v_w, qd)) ----
+    si, bias, _ = world_dynamics(layout, params, dyn, state, damping_eff, fk)
     tau_gen = jnp.concatenate([jnp.zeros(6), tau_tot])
 
     # ---- contact candidates: top-K most penetrating ----
@@ -538,10 +649,10 @@ def substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     pen = jnp.maximum(neg_gap, 0.0)
     t1, t2 = _tangent_basis(n)
 
-    # ---- contact jacobian in u = (omega_b, v_b base-frame, qd) coords ----
+    # ---- contact jacobian in world coords ----
     r_c = cpos - state.base_pos
-    Jw = -jnp.einsum("kab,bc->kac", maths.skew(r_c), Rbase)
-    Jv = jnp.broadcast_to(Rbase, (K, 3, 3))
+    Jw = -maths.skew(r_c)
+    Jv = jnp.broadcast_to(jnp.eye(3), (K, 3, 3))
     arm_j = cpos[:, None, :] - joint_pos_w[None, :, :]         # (K,12,3)
     col_j = jnp.cross(jnp.broadcast_to(axis_w[None], arm_j.shape), arm_j)
     amask = jnp.asarray(layout.anc_mask)[cbody]                 # (K,12)
@@ -558,9 +669,7 @@ def substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     du_free = sol[:, 0]
     Binv = sol[:, 1:].T                                         # (3K,18)
 
-    w_b = Rbase.T @ state.base_ang_vel
-    u_b = Rbase.T @ state.base_lin_vel
-    u_cur = jnp.concatenate([w_b, u_b, state.qd])
+    u_cur = jnp.concatenate([state.base_ang_vel, state.base_lin_vel, state.qd])
     u_free = u_cur + dt * du_free
 
     d_diag = jnp.sum(Jc_flat * Binv, axis=1).reshape(K, 3) + params.contact_compliance
@@ -596,8 +705,8 @@ def substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     u_new = u_free + jnp.einsum("kfe,kf->e", Bmat, lam)
 
     # ---- integrate (semi-implicit Euler) ----
-    new_ang = Rbase @ u_new[:3]
-    new_lin = Rbase @ u_new[3:6]
+    new_ang = u_new[:3]
+    new_lin = u_new[3:6]
     new_qd = u_new[6:]
     new_pos = state.base_pos + dt * new_lin
     new_quat = maths.quat_integrate(state.base_quat, new_ang, dt)

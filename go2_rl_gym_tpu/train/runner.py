@@ -1,0 +1,326 @@
+"""On-policy training runner: one fused, jitted train step + host-side loop.
+
+Counterpart of reference rsl_rl/runners/on_policy_runner.py:60-309 and
+on_policy_runner_cts.py:63-355, with the reference's two hot loops — the
+24-step rollout (with the 4x-decimation physics inside) and the 5x4-minibatch
+PPO/distillation update — fused into ONE XLA program per iteration
+(SURVEY.md §3.1 "In the TPU build both fuse into one jitted train_step").
+
+The host loop only logs, checkpoints, and re-invokes the jitted step. The
+obs-history buffer for the student encoder lives in the carried RunnerState
+(reference keeps it in the runner, on_policy_runner_cts.py:98,133,155-156).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from collections import deque
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from go2_rl_gym_tpu.agents import cts as cts_lib
+from go2_rl_gym_tpu.agents import ppo as ppo_lib
+from go2_rl_gym_tpu.agents import common
+from go2_rl_gym_tpu.env.config import TrainCfg
+from go2_rl_gym_tpu.env.go2_env import EnvState, Go2Env
+from go2_rl_gym_tpu.train.metrics import MetricsWriter
+
+
+class RunnerState(NamedTuple):
+    env_state: EnvState
+    train_state: Any
+    obs: jax.Array
+    priv_obs: jax.Array
+    history: jax.Array              # (N, L, num_obs); L=0 slot for plain PPO
+    key: jax.Array
+    # episode bookkeeping (reference on_policy_runner.py:142-143)
+    cur_reward_sum: jax.Array       # (N,)
+    cur_episode_length: jax.Array   # (N,)
+
+
+class OnPolicyRunner:
+    """Runner for PPO and all CTS variants (selected by train_cfg.runner)."""
+
+    def __init__(self, env: Go2Env, train_cfg: TrainCfg,
+                 log_dir: Optional[str] = None):
+        self.env = env
+        self.cfg = train_cfg
+        self.log_dir = log_dir
+        self.num_steps = train_cfg.runner.num_steps_per_env
+        self.save_interval = train_cfg.runner.save_interval
+        self.is_cts = train_cfg.runner.algorithm_class_name != "PPO"
+        self.history_length = train_cfg.history_length if self.is_cts else 1
+
+        num_critic_obs = env.num_privileged_obs or env.num_obs
+        if self.is_cts:
+            self.alg = cts_lib.CTS(
+                train_cfg.runner.algorithm_class_name,
+                env.num_obs, num_critic_obs, env.num_actions, env.num_envs,
+                train_cfg.history_length, train_cfg.policy, train_cfg.algorithm)
+        else:
+            self.alg = ppo_lib.PPO(env.num_obs, num_critic_obs,
+                                   env.num_actions, train_cfg.policy,
+                                   train_cfg.algorithm)
+
+        self.current_iteration = 0
+        self.tot_timesteps = 0
+        self.tot_time = 0.0
+        self.writer = MetricsWriter(log_dir) if log_dir else None
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            with open(os.path.join(log_dir, "config.yaml"), "w") as f:
+                yaml.safe_dump({
+                    "train_cfg": dataclasses.asdict(train_cfg),
+                    "env_cfg": dataclasses.asdict(env.cfg),
+                }, f)
+        self._train_step = jax.jit(self._build_train_step())
+
+    # ------------------------------------------------------------------
+
+    def init_runner_state(self, key, init_at_random_ep_len=False) -> RunnerState:
+        k_env, k_alg, k_run, k_len = jax.random.split(key, 4)
+        env_state = self.env.init_state(k_env)
+        if init_at_random_ep_len:
+            # reference on_policy_runner.py:127-128
+            rand_len = jax.random.randint(
+                k_len, (self.env.num_envs,), 0, self.env.max_episode_length)
+            env_state = env_state._replace(episode_length=rand_len)
+        train_state = self.alg.init(k_alg)
+        # produce the first observation with a zero-action step
+        # (reference BaseTask.reset does a zero-action step, base_task.py:72-77)
+        env_state, out = self.env.step(env_state, jnp.zeros(
+            (self.env.num_envs, self.env.num_actions)))
+        history = jnp.zeros((self.env.num_envs, self.history_length,
+                             self.env.num_obs))
+        history = jnp.concatenate([history[:, 1:], out.obs[:, None]], axis=1)
+        return RunnerState(
+            env_state=env_state, train_state=train_state,
+            obs=out.obs, priv_obs=out.privileged_obs,
+            history=history, key=k_run,
+            cur_reward_sum=jnp.zeros(self.env.num_envs),
+            cur_episode_length=jnp.zeros(self.env.num_envs))
+
+    # ------------------------------------------------------------------
+
+    def _build_train_step(self):
+        env = self.env
+        alg = self.alg
+        gamma = self.cfg.algorithm.gamma
+        lam = self.cfg.algorithm.lam
+        is_cts = self.is_cts
+
+        def train_step(rs: RunnerState):
+            nonlocal_train = rs.train_state
+
+            def rollout_step(carry, _):
+                env_state, obs, priv, history, key, rew_sum, ep_len = carry
+                key, k_act = jax.random.split(key)
+                hist_flat = history.reshape(history.shape[0], -1)
+                if is_cts:
+                    actions, values, logp, mu, std = alg.act(
+                        nonlocal_train.params1, nonlocal_train.params2, k_act,
+                        obs, priv, hist_flat)
+                else:
+                    actions, values, logp, mu, std = alg.act(
+                        nonlocal_train.params, k_act, obs, priv)
+                env_state, out = env.step(env_state, actions)
+                rewards = alg.process_rewards(out.rew, values, out.time_outs,
+                                              gamma)
+                if is_cts:
+                    trans = cts_lib.Transition(
+                        obs=obs, critic_obs=priv, history=hist_flat,
+                        actions=actions, rewards=rewards, dones=out.done,
+                        values=values, log_probs=logp, mu=mu, sigma=std)
+                else:
+                    trans = ppo_lib.Transition(
+                        obs=obs, critic_obs=priv, actions=actions,
+                        rewards=rewards, dones=out.done, values=values,
+                        log_probs=logp, mu=mu, sigma=std)
+                # history: zero on done, then append the new obs
+                # (on_policy_runner_cts.py:155-156)
+                history = jnp.where(out.done[:, None, None], 0.0, history)
+                history = jnp.concatenate([history[:, 1:], out.obs[:, None]],
+                                          axis=1)
+                # episode statistics
+                rew_sum = rew_sum + out.rew
+                ep_len = ep_len + 1.0
+                done_f = out.done.astype(jnp.float32)
+                if is_cts:
+                    sd = done_f * alg.is_student
+                    td = done_f * (1.0 - alg.is_student)
+                    ep_stats = jnp.stack([
+                        jnp.sum(rew_sum * td), jnp.sum(ep_len * td),
+                        jnp.sum(td), jnp.sum(rew_sum * sd),
+                        jnp.sum(ep_len * sd), jnp.sum(sd)])
+                else:
+                    ep_stats = jnp.stack([
+                        jnp.sum(rew_sum * done_f), jnp.sum(ep_len * done_f),
+                        jnp.sum(done_f)])
+                rew_sum = rew_sum * (1.0 - done_f)
+                ep_len = ep_len * (1.0 - done_f)
+                out_metrics = dict(out.metrics)
+                return ((env_state, out.obs, out.privileged_obs, history, key,
+                         rew_sum, ep_len),
+                        (trans, ep_stats, out_metrics))
+
+            carry = (rs.env_state, rs.obs, rs.priv_obs, rs.history, rs.key,
+                     rs.cur_reward_sum, rs.cur_episode_length)
+            carry, (traj, ep_stats, env_metrics) = jax.lax.scan(
+                rollout_step, carry, None, length=self.num_steps)
+            (env_state, obs, priv, history, key, rew_sum, ep_len) = carry
+
+            hist_flat = history.reshape(history.shape[0], -1)
+            if is_cts:
+                last_values = alg.value(nonlocal_train.params1,
+                                        nonlocal_train.params2, obs, priv,
+                                        hist_flat)
+            else:
+                last_values = alg.value(nonlocal_train.params, priv)
+            returns, advantages = common.compute_gae(
+                traj.rewards, traj.values, traj.dones, last_values, gamma, lam)
+
+            key, k_up = jax.random.split(key)
+            train_state, loss_metrics = alg.update(
+                nonlocal_train, traj, returns, advantages, k_up)
+
+            # aggregate env metrics over the rollout
+            agg = {}
+            for name, vals in env_metrics.items():
+                if name.startswith("rew_") or name == "done_count":
+                    agg[name] = jnp.sum(vals)
+                else:
+                    agg[name] = jnp.mean(vals)
+            agg["ep_stats"] = jnp.sum(ep_stats, axis=0)
+            agg.update(loss_metrics)
+            if not is_cts:
+                agg["mean_noise_std"] = jnp.mean(
+                    train_state.params["params"]["std"])
+            elif "std" in train_state.params1["params"]:
+                agg["mean_noise_std"] = jnp.mean(
+                    train_state.params1["params"]["std"])
+
+            new_rs = RunnerState(
+                env_state=env_state, train_state=train_state, obs=obs,
+                priv_obs=priv, history=history, key=key,
+                cur_reward_sum=rew_sum, cur_episode_length=ep_len)
+            return new_rs, agg
+
+        return train_step
+
+    # ------------------------------------------------------------------
+
+    def learn(self, rs: RunnerState, num_iterations: int,
+              log_every: int = 10, print_every: int = 50) -> RunnerState:
+        rewbuffer = deque(maxlen=100)
+        lenbuffer = deque(maxlen=100)
+        srewbuffer = deque(maxlen=100)
+        slenbuffer = deque(maxlen=100)
+        start_iter = self.current_iteration
+        tot_iter = start_iter + num_iterations
+
+        for it in range(start_iter, tot_iter):
+            t0 = time.time()
+            rs, metrics = self._train_step(rs)
+            jax.block_until_ready(rs.train_state)
+            dt_iter = time.time() - t0
+            self.tot_time += dt_iter
+            self.tot_timesteps += self.num_steps * self.env.num_envs
+            self.current_iteration = it + 1
+
+            ep = np.asarray(metrics.pop("ep_stats"))
+            if self.is_cts:
+                if ep[2] > 0:
+                    rewbuffer.append(ep[0] / ep[2])
+                    lenbuffer.append(ep[1] / ep[2])
+                if ep[5] > 0:
+                    srewbuffer.append(ep[3] / ep[5])
+                    slenbuffer.append(ep[4] / ep[5])
+            else:
+                if ep[2] > 0:
+                    rewbuffer.append(ep[0] / ep[2])
+                    lenbuffer.append(ep[1] / ep[2])
+
+            if self.writer and (it % log_every == 0 or it == tot_iter - 1):
+                self._log(it, metrics, dt_iter, rewbuffer, lenbuffer,
+                          srewbuffer, slenbuffer)
+            if (self.log_dir and self.save_interval
+                    and it % self.save_interval == 0):
+                self.save(rs, os.path.join(self.log_dir, f"model_{it}"))
+            if it % print_every == 0:
+                fps = int(self.num_steps * self.env.num_envs / dt_iter)
+                mr = np.mean(rewbuffer) if rewbuffer else float("nan")
+                print(f"it {it}/{tot_iter} | {fps} steps/s | "
+                      f"mean_rew {mr:.3f} | "
+                      f"vloss {float(metrics.get('value_loss', 0)):.4f} | "
+                      f"surr {float(metrics.get('surrogate_loss', 0)):.4f}",
+                      flush=True)
+        if self.log_dir:
+            self.save(rs, os.path.join(self.log_dir,
+                                       f"model_{self.current_iteration}"))
+        return rs
+
+    def _log(self, it, metrics, dt_iter, rewbuffer, lenbuffer, srew, slen):
+        w = self.writer
+        fps = int(self.num_steps * self.env.num_envs / dt_iter)
+        done_count = float(metrics.pop("done_count", 0.0))
+        for name, val in metrics.items():
+            if name.startswith("rew_"):
+                if done_count > 0:
+                    w.add_scalar(f"Episode/{name}", float(val) / done_count, it)
+            elif name.startswith("terrain_level"):
+                w.add_scalar(f"Terrain/{name}", float(val), it)
+            elif name == "mean_noise_std":
+                w.add_scalar("Policy/mean_noise_std", float(val), it)
+            elif name == "learning_rate":
+                w.add_scalar("Loss/learning_rate", float(val), it)
+            elif name.endswith("loss") or name == "entropy":
+                w.add_scalar(f"Loss/{name.replace('_loss', '')}", float(val), it)
+            else:
+                w.add_scalar(f"Train/{name}", float(val), it)
+        w.add_scalar("Perf/total_fps", fps, it)
+        w.add_scalar("Perf/iteration_time", dt_iter, it)
+        if self.is_cts:
+            if rewbuffer:
+                w.add_scalar("Train/mean_teacher_reward", np.mean(rewbuffer), it)
+                w.add_scalar("Train/mean_teacher_episode_length",
+                             np.mean(lenbuffer), it)
+            if srew:
+                w.add_scalar("Train/mean_student_reward", np.mean(srew), it)
+                w.add_scalar("Train/mean_student_episode_length",
+                             np.mean(slen), it)
+        else:
+            if rewbuffer:
+                w.add_scalar("Train/mean_reward", np.mean(rewbuffer), it)
+                w.add_scalar("Train/mean_episode_length", np.mean(lenbuffer), it)
+        w.flush()
+
+    # ------------------------------------------------------------------
+
+    def save(self, rs: RunnerState, path: str):
+        """Checkpoint the FULL train state pytree (params, both optimizers,
+        env/curriculum state, RNG) — exact resume, which the reference lacks
+        (SURVEY.md §5 checkpoint/resume)."""
+        import orbax.checkpoint as ocp
+        ckpt = {"runner_state": rs, "iteration": self.current_iteration}
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.abspath(path), ckpt, force=True)
+
+    def load(self, rs_template: RunnerState, path: str) -> RunnerState:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        target = {"runner_state": rs_template, "iteration": 0}
+        restored = ckptr.restore(os.path.abspath(path), item=target)
+        self.current_iteration = int(restored["iteration"])
+        return restored["runner_state"]
+
+    def get_inference_params(self, rs: RunnerState):
+        if self.is_cts:
+            return cts_lib.merge_params(rs.train_state.params1,
+                                        rs.train_state.params2)
+        return rs.train_state.params

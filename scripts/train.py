@@ -1,0 +1,73 @@
+"""Training entry point.
+
+Counterpart of reference legged_gym/scripts/train.py + the CLI flag schema of
+legged_gym/utils/helpers.py:128-157.
+
+Usage:
+    python scripts/train.py --task go2_moe_cts --num_envs 4096 \
+        --max_iterations 150000 --headless
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def get_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", default="go2", help="task name")
+    p.add_argument("--num_envs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--max_iterations", type=int, default=None)
+    p.add_argument("--experiment_name", default=None)
+    p.add_argument("--run_name", default="")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--load_run", default=-1)
+    p.add_argument("--checkpoint", type=int, default=-1)
+    p.add_argument("--log_root", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "logs"))
+    p.add_argument("--terrain", default=None,
+                   choices=[None, "plane", "heightfield"],
+                   help="override terrain mesh type")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (cpu for debugging)")
+    p.add_argument("--headless", action="store_true", help="accepted for CLI "
+                   "parity with the reference; rendering is always off")
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from go2_rl_gym_tpu.utils import registry
+    from go2_rl_gym_tpu.utils.helpers import (get_load_path,
+                                              update_cfg_from_args)
+
+    env_cfg, train_cfg = registry.get_cfgs(args.task)
+    update_cfg_from_args(env_cfg, train_cfg, args)
+
+    env = registry.make_env(args.task, env_cfg,
+                            num_steps_per_env=train_cfg.runner.num_steps_per_env)
+    runner = registry.make_runner(args.task, env, train_cfg,
+                                  log_root=args.log_root,
+                                  run_name=args.run_name)
+
+    key = jax.random.PRNGKey(train_cfg.seed)
+    rs = runner.init_runner_state(key, init_at_random_ep_len=True)
+    if args.resume:
+        path = get_load_path(os.path.join(args.log_root,
+                                          train_cfg.runner.experiment_name),
+                             args.load_run, args.checkpoint)
+        print(f"resuming from {path}")
+        rs = runner.load(rs, path)
+    runner.learn(rs, train_cfg.runner.max_iterations)
+
+
+if __name__ == "__main__":
+    main()

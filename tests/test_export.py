@@ -1,0 +1,89 @@
+"""Export round-trip tests: TorchScript mirror must match the JAX forward."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from go2_rl_gym_tpu.agents.networks import make_cts_model
+from go2_rl_gym_tpu.env.config import PolicyCfg
+from go2_rl_gym_tpu.export import exporter
+
+NO_GOAL = tuple([True] * 6 + [False] * 3 + [True] * 36)
+
+
+def _policy_cfg(family):
+    dims = (512, 256, 256) if family in ("moe_cts", "dual_moe_cts") else (512, 256)
+    return PolicyCfg(obs_no_goal_mask=NO_GOAL, student_encoder_hidden_dims=dims)
+
+
+def _jax_student_forward(model, params, obs_seq):
+    """Run the student inference path with an explicit history buffer, the way
+    act_inference does (actor_critic_cts.py:162-167)."""
+    hist = jnp.zeros((1, 5, 45))
+    outs = []
+    for obs in obs_seq:
+        obs = obs[None]
+        hist = jnp.concatenate([hist[:, 1:], obs[:, None]], axis=1)
+        lat, _ = model.apply(params, hist.reshape(1, -1), method="s_latent")
+        mu, _, _ = model.apply(params, lat, obs, method="dist")
+        outs.append(np.asarray(mu)[0])
+    return np.stack(outs)
+
+
+@pytest.mark.parametrize("family", ["cts", "moe_cts", "moe_ng_cts", "mcp_cts",
+                                    "ac_moe_cts", "dual_moe_cts"])
+def test_torchscript_matches_jax(family, tmp_path):
+    torch = pytest.importorskip("torch")
+    pc = _policy_cfg(family)
+    model = make_cts_model(family, 45, 263, 12, pc, 5)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 45)),
+                        jnp.zeros((1, 263)), jnp.zeros((1, 225)))
+
+    path = exporter.export_policy_as_jit(
+        params, family, str(tmp_path), num_obs=45, history_length=5,
+        obs_no_goal_mask=NO_GOAL)
+    policy = torch.jit.load(path)
+
+    obs_seq = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (7, 45)),
+                         np.float32)
+    want = _jax_student_forward(model, params, jnp.asarray(obs_seq))
+
+    got = []
+    for obs in obs_seq:
+        out = policy(torch.from_numpy(obs).unsqueeze(0))
+        if isinstance(out, tuple):
+            out = out[0]
+        got.append(out.detach().numpy()[0])
+    got = np.stack(got)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_torchscript_reset(tmp_path):
+    torch = pytest.importorskip("torch")
+    pc = _policy_cfg("cts")
+    model = make_cts_model("cts", 45, 263, 12, pc, 5)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 45)),
+                        jnp.zeros((1, 263)), jnp.zeros((1, 225)))
+    path = exporter.export_policy_as_jit(params, "cts", str(tmp_path))
+    policy = torch.jit.load(path)
+    obs = torch.ones(1, 45)
+    a1 = policy(obs).clone()
+    policy(obs * 2)  # mutate history
+    policy.reset()
+    a2 = policy(obs)
+    np.testing.assert_allclose(a1.detach(), a2.detach(), atol=1e-6)
+
+
+def test_pkl_roundtrip(tmp_path):
+    pc = _policy_cfg("cts")
+    model = make_cts_model("cts", 45, 263, 12, pc, 5)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 45)),
+                        jnp.zeros((1, 263)), jnp.zeros((1, 225)))
+    path = exporter.export_policy_as_pkl(params, {"family": "cts"},
+                                         str(tmp_path))
+    loaded, meta = exporter.load_policy_params(path)
+    assert meta["family"] == "cts"
+    chex = pytest.importorskip("chex")
+    chex.assert_trees_all_close(
+        jax.tree.map(jnp.asarray, loaded), params, atol=0)
