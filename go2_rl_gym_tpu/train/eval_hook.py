@@ -1,0 +1,68 @@
+"""Asynchronous sim2sim evaluation during training.
+
+Counterpart of the reference's RoboGauge client integration
+(rsl_rl/runners/on_policy_runner.py:104-111, 252-295): every
+``eval_interval`` iterations the current policy is exported (TorchScript) and
+scored in MuJoCo in a background subprocess; results land in
+``<log_dir>/eval_results/results_<iter>.yaml`` and are logged as ``Eval/*``
+scalars when they arrive. ``wait_all`` blocks at the end of training for the
+final model's score (the reference blocks the same way,
+on_policy_runner.py:271-291).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from typing import Dict, List, Optional
+
+
+class AsyncEvaluator:
+    def __init__(self, log_dir: str, scenes=("flat",), duration_s: float = 8.0,
+                 python: Optional[str] = None):
+        self.log_dir = log_dir
+        self.results_dir = os.path.join(log_dir, "eval_results")
+        os.makedirs(self.results_dir, exist_ok=True)
+        self.scenes = list(scenes)
+        self.duration_s = duration_s
+        self.python = python or sys.executable
+        self._jobs: List[tuple] = []   # (iteration, Popen, out_path)
+
+    def submit(self, policy_path: str, iteration: int):
+        out = os.path.join(self.results_dir, f"results_{iteration}.yaml")
+        script = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "scripts", "evaluate.py")
+        proc = subprocess.Popen(
+            [self.python, script, "--policy", policy_path,
+             "--scenes", *self.scenes, "--duration", str(self.duration_s),
+             "--out", out],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        self._jobs.append((iteration, proc, out))
+
+    def poll(self) -> Dict[int, Dict[str, float]]:
+        """Collect finished evaluations (non-blocking)."""
+        done = {}
+        still = []
+        for it, proc, out in self._jobs:
+            if proc.poll() is None:
+                still.append((it, proc, out))
+                continue
+            if os.path.exists(out):
+                try:
+                    import yaml
+                    with open(out) as f:
+                        done[it] = yaml.safe_load(f)
+                except Exception:
+                    pass
+        self._jobs = still
+        return done
+
+    def wait_all(self, timeout: Optional[float] = None):
+        for it, proc, out in self._jobs:
+            try:
+                proc.wait(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+        return self.poll()

@@ -48,10 +48,17 @@ class OnPolicyRunner:
     """Runner for PPO and all CTS variants (selected by train_cfg.runner)."""
 
     def __init__(self, env: Go2Env, train_cfg: TrainCfg,
-                 log_dir: Optional[str] = None):
+                 log_dir: Optional[str] = None, eval_interval: int = 0,
+                 eval_scenes=("flat",)):
         self.env = env
         self.cfg = train_cfg
         self.log_dir = log_dir
+        # async sim2sim eval (RoboGauge counterpart); 0 = disabled
+        self.eval_interval = eval_interval
+        self.evaluator = None
+        if eval_interval and log_dir:
+            from go2_rl_gym_tpu.train.eval_hook import AsyncEvaluator
+            self.evaluator = AsyncEvaluator(log_dir, scenes=eval_scenes)
         self.num_steps = train_cfg.runner.num_steps_per_env
         self.save_interval = train_cfg.runner.save_interval
         self.is_cts = train_cfg.runner.algorithm_class_name != "PPO"
@@ -84,21 +91,31 @@ class OnPolicyRunner:
     # ------------------------------------------------------------------
 
     def init_runner_state(self, key, init_at_random_ep_len=False) -> RunnerState:
-        k_env, k_alg, k_run, k_len = jax.random.split(key, 4)
-        env_state = self.env.init_state(k_env)
-        if init_at_random_ep_len:
-            # reference on_policy_runner.py:127-128
-            rand_len = jax.random.randint(
-                k_len, (self.env.num_envs,), 0, self.env.max_episode_length)
-            env_state = env_state._replace(episode_length=rand_len)
-        train_state = self.alg.init(k_alg)
-        # produce the first observation with a zero-action step
-        # (reference BaseTask.reset does a zero-action step, base_task.py:72-77)
-        env_state, out = self.env.step(env_state, jnp.zeros(
-            (self.env.num_envs, self.env.num_actions)))
-        history = jnp.zeros((self.env.num_envs, self.history_length,
-                             self.env.num_obs))
-        history = jnp.concatenate([history[:, 1:], out.obs[:, None]], axis=1)
+        """Jitted end-to-end (eager env init would dispatch thousands of tiny
+        device ops — pathological through a remote-TPU relay)."""
+
+        @functools.partial(jax.jit, static_argnums=1)
+        def _init(key, random_len):
+            k_env, k_run, k_len = jax.random.split(key, 3)
+            env_state = self.env.init_state(k_env)
+            if random_len:
+                # reference on_policy_runner.py:127-128
+                rand_len = jax.random.randint(
+                    k_len, (self.env.num_envs,), 0, self.env.max_episode_length)
+                env_state = env_state._replace(episode_length=rand_len)
+            # first observation via a zero-action step (reference
+            # BaseTask.reset, base_task.py:72-77)
+            env_state, out = self.env.step(env_state, jnp.zeros(
+                (self.env.num_envs, self.env.num_actions)))
+            history = jnp.zeros((self.env.num_envs, self.history_length,
+                                 self.env.num_obs))
+            history = jnp.concatenate([history[:, 1:], out.obs[:, None]],
+                                      axis=1)
+            return env_state, out, history, k_run
+
+        k_init, k_alg = jax.random.split(key)
+        env_state, out, history, k_run = _init(k_init, init_at_random_ep_len)
+        train_state = jax.jit(self.alg.init)(k_alg)
         return RunnerState(
             env_state=env_state, train_state=train_state,
             obs=out.obs, priv_obs=out.privileged_obs,
@@ -252,6 +269,14 @@ class OnPolicyRunner:
             if (self.log_dir and self.save_interval
                     and it % self.save_interval == 0):
                 self.save(rs, os.path.join(self.log_dir, f"model_{it}"))
+            if (self.evaluator is not None and self.is_cts
+                    and it % self.eval_interval == 0):
+                self._submit_eval(rs, it)
+            if self.evaluator is not None and self.writer:
+                for eit, scores in self.evaluator.poll().items():
+                    for k, v in scores.items():
+                        if isinstance(v, (int, float)):
+                            self.writer.add_scalar(f"Eval/{k}", v, eit)
             if it % print_every == 0:
                 fps = int(self.num_steps * self.env.num_envs / dt_iter)
                 mr = np.mean(rewbuffer) if rewbuffer else float("nan")
@@ -263,7 +288,29 @@ class OnPolicyRunner:
         if self.log_dir:
             self.save(rs, os.path.join(self.log_dir,
                                        f"model_{self.current_iteration}"))
+        if self.evaluator is not None:
+            if self.is_cts:
+                self._submit_eval(rs, self.current_iteration)
+            # block for the final model's score (reference
+            # on_policy_runner.py:271-291)
+            for eit, scores in self.evaluator.wait_all(timeout=600).items():
+                if self.writer:
+                    for k, v in scores.items():
+                        if isinstance(v, (int, float)):
+                            self.writer.add_scalar(f"Eval/{k}", v, eit)
         return rs
+
+    def _submit_eval(self, rs: RunnerState, it: int):
+        from go2_rl_gym_tpu.agents.cts import ALGO_TO_FAMILY
+        from go2_rl_gym_tpu.export import exporter
+        family = ALGO_TO_FAMILY[self.cfg.runner.algorithm_class_name]
+        jit_dir = os.path.join(self.log_dir, "jit_models")
+        path = exporter.export_policy_as_jit(
+            self.get_inference_params(rs), family, jit_dir,
+            filename=f"policy_jit_{it}.pt", num_obs=self.env.num_obs,
+            history_length=self.cfg.history_length,
+            obs_no_goal_mask=self.cfg.policy.obs_no_goal_mask)
+        self.evaluator.submit(path, it)
 
     def _log(self, it, metrics, dt_iter, rewbuffer, lenbuffer, srew, slen):
         w = self.writer

@@ -65,3 +65,13 @@ register("go2_moe_ng_cts", cfgs.Go2Cfg, cfgs.go2_moe_ng_cts_train_cfg)
 register("go2_mcp_cts", cfgs.Go2Cfg, cfgs.go2_mcp_cts_train_cfg)
 register("go2_ac_moe_cts", cfgs.Go2Cfg, cfgs.go2_ac_moe_cts_train_cfg)
 register("go2_dual_moe_cts", cfgs.Go2Cfg, cfgs.go2_dual_moe_cts_train_cfg)
+
+# ---- ablation variant tasks (reference go2_config_{vanilla,...}.py) ----
+from go2_rl_gym_tpu.env import config_variants as _variants  # noqa: E402
+
+register("go2_vanilla", _variants.go2_vanilla_cfg,
+         _variants.go2_vanilla_train_cfg)
+register("go2_vanilla_dynamic_cmd", _variants.go2_vanilla_dynamic_cmd_cfg,
+         _variants.go2_vanilla_train_cfg)
+register("go2_fast_flat_move", _variants.go2_fast_flat_move_cfg,
+         _variants.go2_fast_flat_move_train_cfg)

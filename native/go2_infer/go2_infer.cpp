@@ -1,0 +1,247 @@
+// go2_infer: dependency-free C++ policy inference for deployment.
+//
+// The reference's real-robot loop runs policies through the TorchScript C++
+// runtime (deploy_real_go2.py loads a .pt via libtorch). This shim replaces
+// that native dependency with ~300 lines of C++: it loads the framework's
+// .g2p binary export (see go2_rl_gym_tpu/export/native.py) and serves 50 Hz
+// single-observation inference with the embedded 5-frame history ring buffer,
+// for the CTS and MoE-CTS policy families.
+//
+// C ABI (ctypes-friendly):
+//   void* go2_policy_load(const char* path);
+//   void  go2_policy_reset(void* handle);
+//   int   go2_policy_infer(void* handle, const float* obs, float* action_out);
+//   int   go2_policy_num_obs(void* handle);
+//   int   go2_policy_num_actions(void* handle);
+//   void  go2_policy_free(void* handle);
+//
+// Build: g++ -O2 -shared -fPIC -o libgo2_infer.so go2_infer.cpp
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kMagic = 0x47325031;  // "G2P1"
+
+enum Family : uint32_t {
+  FAMILY_CTS = 0,
+  FAMILY_MOE_CTS = 1,
+};
+
+struct Linear {
+  int in = 0, out = 0;
+  std::vector<float> w;  // row-major (out, in)
+  std::vector<float> b;
+
+  void apply(const std::vector<float>& x, std::vector<float>& y) const {
+    y.resize(out);
+    for (int o = 0; o < out; ++o) {
+      const float* row = w.data() + static_cast<size_t>(o) * in;
+      float acc = b[o];
+      for (int i = 0; i < in; ++i) acc += row[i] * x[i];
+      y[o] = acc;
+    }
+  }
+};
+
+struct MLP {
+  std::vector<Linear> layers;
+  bool last_activation = false;
+
+  void apply(const std::vector<float>& x, std::vector<float>& y) const {
+    std::vector<float> cur = x, nxt;
+    for (size_t l = 0; l < layers.size(); ++l) {
+      layers[l].apply(cur, nxt);
+      if (l + 1 < layers.size() || last_activation) {
+        for (float& v : nxt) v = v > 0.f ? v : std::expm1(v);  // ELU
+      }
+      cur.swap(nxt);
+    }
+    y = cur;
+  }
+};
+
+void l2norm(std::vector<float>& x) {
+  float n = 0.f;
+  for (float v : x) n += v * v;
+  n = std::sqrt(n);
+  if (n < 1e-12f) n = 1e-12f;
+  for (float& v : x) v /= n;
+}
+
+void softmax(std::vector<float>& x) {
+  float m = x[0];
+  for (float v : x) m = std::max(m, v);
+  float s = 0.f;
+  for (float& v : x) {
+    v = std::exp(v - m);
+    s += v;
+  }
+  for (float& v : x) v /= s;
+}
+
+struct Policy {
+  uint32_t family = FAMILY_CTS;
+  int num_obs = 45, num_actions = 12, history_length = 5;
+  int expert_num = 0, expert_hidden = 0, latent_dim = 0;
+
+  MLP student;        // cts
+  MLP moe_backbone;   // moe_cts (trailing activation)
+  std::vector<float> head_w;  // (E, H, latent)
+  std::vector<float> head_b;  // (E, latent)
+  MLP gating;
+  MLP actor;
+
+  std::vector<float> history;  // (history_length * num_obs) ring, oldest first
+
+  void reset() { std::fill(history.begin(), history.end(), 0.f); }
+
+  void update_history(const float* obs) {
+    std::memmove(history.data(), history.data() + num_obs,
+                 sizeof(float) * num_obs * (history_length - 1));
+    std::memcpy(history.data() + num_obs * (history_length - 1), obs,
+                sizeof(float) * num_obs);
+  }
+
+  void latent_from_history(std::vector<float>& latent) {
+    if (family == FAMILY_CTS) {
+      student.apply(history, latent);
+      l2norm(latent);
+      return;
+    }
+    // MoE: shared backbone -> per-expert heads, softmax gate over history
+    std::vector<float> feats, gate;
+    moe_backbone.apply(history, feats);  // (E * H)
+    gating.apply(history, gate);         // (E)
+    softmax(gate);
+    latent.assign(latent_dim, 0.f);
+    for (int e = 0; e < expert_num; ++e) {
+      const float* fe = feats.data() + static_cast<size_t>(e) * expert_hidden;
+      const float* we =
+          head_w.data() + static_cast<size_t>(e) * expert_hidden * latent_dim;
+      const float* be = head_b.data() + static_cast<size_t>(e) * latent_dim;
+      for (int o = 0; o < latent_dim; ++o) {
+        float acc = be[o];
+        for (int h = 0; h < expert_hidden; ++h)
+          acc += fe[h] * we[static_cast<size_t>(h) * latent_dim + o];
+        latent[o] += gate[e] * acc;
+      }
+    }
+    l2norm(latent);
+  }
+
+  void infer(const float* obs, float* action_out) {
+    update_history(obs);
+    std::vector<float> latent;
+    latent_from_history(latent);
+    std::vector<float> x(latent.size() + num_obs);
+    std::memcpy(x.data(), latent.data(), sizeof(float) * latent.size());
+    std::memcpy(x.data() + latent.size(), obs, sizeof(float) * num_obs);
+    std::vector<float> act;
+    actor.apply(x, act);
+    std::memcpy(action_out, act.data(), sizeof(float) * num_actions);
+  }
+};
+
+bool read_exact(FILE* f, void* dst, size_t n) {
+  return std::fread(dst, 1, n, f) == n;
+}
+
+bool read_u32(FILE* f, uint32_t* v) { return read_exact(f, v, 4); }
+
+bool read_floats(FILE* f, std::vector<float>& v, size_t n) {
+  v.resize(n);
+  return read_exact(f, v.data(), n * sizeof(float));
+}
+
+bool read_linear(FILE* f, Linear* lin) {
+  uint32_t in, out;
+  if (!read_u32(f, &in) || !read_u32(f, &out)) return false;
+  lin->in = in;
+  lin->out = out;
+  return read_floats(f, lin->w, static_cast<size_t>(in) * out) &&
+         read_floats(f, lin->b, out);
+}
+
+bool read_mlp(FILE* f, MLP* mlp) {
+  uint32_t n, last_act;
+  if (!read_u32(f, &n) || !read_u32(f, &last_act)) return false;
+  mlp->last_activation = last_act != 0;
+  mlp->layers.resize(n);
+  for (uint32_t i = 0; i < n; ++i)
+    if (!read_linear(f, &mlp->layers[i])) return false;
+  return true;
+}
+
+Policy* load(const char* path) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  Policy* p = new Policy();
+  uint32_t magic = 0, no, na, hl;
+  bool ok = read_u32(f, &magic) && magic == kMagic &&
+            read_u32(f, &p->family) && read_u32(f, &no) && read_u32(f, &na) &&
+            read_u32(f, &hl);
+  if (ok) {
+    p->num_obs = no;
+    p->num_actions = na;
+    p->history_length = hl;
+    if (p->family == FAMILY_CTS) {
+      ok = read_mlp(f, &p->student);
+    } else if (p->family == FAMILY_MOE_CTS) {
+      uint32_t e, h, l;
+      ok = read_u32(f, &e) && read_u32(f, &h) && read_u32(f, &l) &&
+           read_mlp(f, &p->moe_backbone);
+      if (ok) {
+        p->expert_num = e;
+        p->expert_hidden = h;
+        p->latent_dim = l;
+        ok = read_floats(f, p->head_w, static_cast<size_t>(e) * h * l) &&
+             read_floats(f, p->head_b, static_cast<size_t>(e) * l) &&
+             read_mlp(f, &p->gating);
+      }
+    } else {
+      ok = false;
+    }
+  }
+  if (ok) ok = read_mlp(f, &p->actor);
+  std::fclose(f);
+  if (!ok) {
+    delete p;
+    return nullptr;
+  }
+  p->history.assign(static_cast<size_t>(p->history_length) * p->num_obs, 0.f);
+  return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* go2_policy_load(const char* path) { return load(path); }
+
+void go2_policy_reset(void* handle) {
+  if (handle) static_cast<Policy*>(handle)->reset();
+}
+
+int go2_policy_infer(void* handle, const float* obs, float* action_out) {
+  if (!handle) return -1;
+  static_cast<Policy*>(handle)->infer(obs, action_out);
+  return 0;
+}
+
+int go2_policy_num_obs(void* handle) {
+  return handle ? static_cast<Policy*>(handle)->num_obs : -1;
+}
+
+int go2_policy_num_actions(void* handle) {
+  return handle ? static_cast<Policy*>(handle)->num_actions : -1;
+}
+
+void go2_policy_free(void* handle) { delete static_cast<Policy*>(handle); }
+
+}  // extern "C"
