@@ -198,22 +198,29 @@ class CTS:
         t_perm = t_pos[jax.random.permutation(kt, len(self.teacher_envs) * T)]
         s_perm = s_pos[jax.random.permutation(ks, len(self.student_envs) * T)]
         # one shuffle reused across epochs, teacher-first per minibatch
-        # (rollout_storage_cts.py:158-159: indices drawn once)
-        mb_indices = []
-        for _ in range(cfg.num_learning_epochs):
-            for i in range(nmb):
-                mb_indices.append(jnp.concatenate(
-                    [t_perm[i * tmb:(i + 1) * tmb], s_perm[i * smb:(i + 1) * smb]]))
-        mb_indices = jnp.stack(mb_indices)
+        # (rollout_storage_cts.py:158-159: indices drawn once). Gather the
+        # shuffled pools ONCE; minibatches then read contiguous slices —
+        # per-minibatch random-row gathers of the 500-float sample vectors
+        # are the expensive HBM pattern on TPU.
+        shuffled = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [x[t_perm].reshape((nmb, tmb) + x.shape[1:]),
+                 x[s_perm].reshape((nmb, smb) + x.shape[1:])], axis=1),
+            flat)
+        sh_ret = jnp.concatenate([flat_ret[t_perm].reshape(nmb, tmb),
+                                  flat_ret[s_perm].reshape(nmb, smb)], axis=1)
+        sh_adv = jnp.concatenate([flat_adv[t_perm].reshape(nmb, tmb),
+                                  flat_adv[s_perm].reshape(nmb, smb)], axis=1)
+        mb_slots = jnp.tile(jnp.arange(nmb), cfg.num_learning_epochs)
 
         E = self.model.expert_num
 
         # ---------------- pass 1: PPO on optimizer1 ----------------
-        def ppo_step(carry, idx):
+        def ppo_step(carry, slot):
             p1, opt1, lr = carry
-            mb = jax.tree.map(lambda x: x[idx], flat)
-            mb_ret = flat_ret[idx]
-            mb_adv = flat_adv[idx]
+            mb = jax.tree.map(lambda x: x[slot], shuffled)
+            mb_ret = sh_ret[slot]
+            mb_adv = sh_adv[slot]
 
             def loss_fn(p1_):
                 params = merge_params(p1_, ts.params2)
@@ -260,13 +267,13 @@ class CTS:
             return (p1, opt1, lr), jnp.stack([vloss, surr, ent, ac_lb])
 
         (p1, opt1, lr), stats1 = jax.lax.scan(
-            ppo_step, (ts.params1, ts.opt1_state, ts.lr), mb_indices)
+            ppo_step, (ts.params1, ts.opt1_state, ts.lr), mb_slots)
 
         # ---------------- pass 2: distillation on optimizer2 ----------------
-        def distill_step(carry, idx):
+        def distill_step(carry, slot):
             p2, opt2 = carry
-            mb_hist = flat.history[idx][tmb:]
-            mb_priv = flat.critic_obs[idx][tmb:]
+            mb_hist = shuffled.history[slot][tmb:]
+            mb_priv = shuffled.critic_obs[slot][tmb:]
 
             def loss_fn(p2_):
                 params = merge_params(p1, p2_)
@@ -290,7 +297,7 @@ class CTS:
             return (p2, opt2), jnp.stack([latent_loss, lb])
 
         (p2, opt2), stats2 = jax.lax.scan(
-            distill_step, (ts.params2, ts.opt2_state), mb_indices)
+            distill_step, (ts.params2, ts.opt2_state), mb_slots)
 
         metrics = {
             "value_loss": stats1[:, 0].mean(),

@@ -96,16 +96,20 @@ class PPO:
         flat_adv = advantages.reshape(total)
 
         # one shuffle reused across epochs (reference rollout_storage.py:150
-        # draws randperm once and replays the same minibatches per epoch)
+        # draws randperm once and replays the same minibatches per epoch);
+        # gather once, then minibatches are contiguous slices (cheap on TPU)
         perm = jax.random.permutation(key, total)[: nmb * mb_size]
-        mb_idx = jnp.tile(perm.reshape(nmb, mb_size),
-                          (cfg.num_learning_epochs, 1))
+        shuffled = jax.tree.map(
+            lambda x: x[perm].reshape((nmb, mb_size) + x.shape[1:]), flat)
+        sh_ret = flat_returns[perm].reshape(nmb, mb_size)
+        sh_adv = flat_adv[perm].reshape(nmb, mb_size)
+        mb_slots = jnp.tile(jnp.arange(nmb), cfg.num_learning_epochs)
 
-        def minibatch_step(carry, idx):
+        def minibatch_step(carry, slot):
             params, opt_state, lr = carry
-            mb = jax.tree.map(lambda x: x[idx], flat)
-            mb_ret = flat_returns[idx]
-            mb_adv = flat_adv[idx]
+            mb = jax.tree.map(lambda x: x[slot], shuffled)
+            mb_ret = sh_ret[slot]
+            mb_adv = sh_adv[slot]
 
             def loss_fn(p):
                 mu, std = self.model.apply(p, mb.obs, method="actor_dist")
@@ -133,7 +137,7 @@ class PPO:
             return (params, opt_state, lr), jnp.stack([vloss, surr, ent])
 
         (params, opt_state, lr), stats = jax.lax.scan(
-            minibatch_step, (ts.params, ts.opt_state, ts.lr), mb_idx)
+            minibatch_step, (ts.params, ts.opt_state, ts.lr), mb_slots)
         metrics = {
             "value_loss": stats[:, 0].mean(),
             "surrogate_loss": stats[:, 1].mean(),

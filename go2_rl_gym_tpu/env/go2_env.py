@@ -246,8 +246,9 @@ class Go2Env:
             [os_.lin_vel, os_.lin_vel, os_.ang_vel], jnp.float32)
 
         self.push_interval = int(np.ceil(cfg.domain_rand.push_interval_s / self.dt))
-        self.batched_substep = engine.make_batched_substep(
-            self.model, self.sim_params, self.terrain)
+        from go2_rl_gym_tpu.sim import tengine
+        self.physics_step = tengine.make_physics_step(
+            self.model, self.sim_params, self.terrain, cfg.control.decimation)
 
     # ------------------------------------------------------------------
     # Curriculum helpers (pure functions of the iteration counter)
@@ -545,15 +546,33 @@ class Go2Env:
     # ------------------------------------------------------------------
 
     def _get_heights(self, sim: engine.SimState):
-        """187-point yaw-rotated height scan (legged_robot.py:1188-1224)."""
+        """187-point yaw-rotated height scan (legged_robot.py:1188-1224).
+
+        Component-wise (N, P) math: an (N, P, 3) intermediate would pad its
+        trailing dim 3 to 128 TPU lanes (40x HBM blowup)."""
         if self.grid is None:
             return jnp.zeros((self.num_envs, self.num_height_points))
-        pts = maths.quat_apply_yaw(
-            sim.base_quat[:, None, :],
-            jnp.broadcast_to(self.height_points,
-                             (self.num_envs, self.num_height_points, 3)))
-        pts = pts + sim.base_pos[:, None, :]
-        return engine.terrain_height(self.terrain, pts[..., :2])
+        # yaw-only rotation from the quat's z,w components (normalized)
+        qz = sim.base_quat[:, 2:3]
+        qw = sim.base_quat[:, 3:4]
+        nrm = jnp.sqrt(qz * qz + qw * qw) + 1e-9
+        qz, qw = qz / nrm, qw / nrm
+        cos_t = 1.0 - 2.0 * qz * qz
+        sin_t = 2.0 * qz * qw
+        hx = self.height_points[:, 0]          # (P,)
+        hy = self.height_points[:, 1]
+        px = sim.base_pos[:, 0:1] + cos_t * hx - sin_t * hy    # (N,P)
+        py = sim.base_pos[:, 1:2] + sin_t * hx + cos_t * hy
+        t = self.terrain
+        hs = t.height
+        ix = jnp.clip(((px + t.border_offset) / t.horizontal_scale)
+                      .astype(jnp.int32), 0, hs.shape[0] - 2)
+        iy = jnp.clip(((py + t.border_offset) / t.horizontal_scale)
+                      .astype(jnp.int32), 0, hs.shape[1] - 2)
+        h1 = hs[ix, iy]
+        h2 = hs[ix + 1, iy]
+        h3 = hs[ix, iy + 1]
+        return jnp.minimum(jnp.minimum(h1, h2), h3)
 
     def _base_height_est(self, sim, measured_heights):
         """Estimated base height above ground (legged_robot.py:1387-1397)."""
@@ -680,32 +699,27 @@ class Go2Env:
         clip_a = cfg.normalization.clip_actions
         actions = jnp.clip(actions, -clip_a, clip_a)
 
-        # ---- decimation loop with action delay (legged_robot.py:71-92) ----
+        # ---- decimation loop with action delay (legged_robot.py:71-92);
+        # per-substep PD targets precomputed, physics runs in the T-layout
+        # engine (sim/tengine.py) ----
         if cfg.domain_rand.randomize_action_delay:
             start_dec = jax.random.randint(
                 keys[1], (N, 1), 0, cfg.control.decimation + 1)
         else:
             start_dec = jnp.zeros((N, 1), jnp.int32)
-        kp = self.p_gains * state.kp_mult
-        kd = self.d_gains * state.kd_mult
-
-        def substep_body(carry, i):
-            sim = carry
-            use = (i >= start_dec).astype(jnp.float32)
-            inp = (1.0 - use) * state.last_actions + use * actions
-            target = inp * cfg.control.action_scale + self.default_dof_pos
-            tau = kp * (target - sim.q + state.motor_offset) - kd * sim.qd
-            tau = jnp.clip(tau, -self.torque_limits, self.torque_limits)
-            if cfg.domain_rand.randomize_motor_strength:
-                tau = tau * state.motor_strength
-            sim, outs = self.batched_substep(state.dyn, sim, tau,
-                                             jnp.broadcast_to(kd, (N, 12)))
-            return sim, (tau, outs)
-
-        sim, (taus, outs) = jax.lax.scan(
-            substep_body, state.sim, jnp.arange(cfg.control.decimation))
-        torques = taus[-1]
-        last_out = jax.tree.map(lambda x: x[-1], outs)
+        kp = jnp.broadcast_to(self.p_gains * state.kp_mult, (N, 12))
+        kd = jnp.broadcast_to(self.d_gains * state.kd_mult, (N, 12))
+        dec_idx = jnp.arange(cfg.control.decimation)
+        use = (dec_idx[:, None, None] >= start_dec[None]).astype(jnp.float32)
+        inp = ((1.0 - use) * state.last_actions[None]
+               + use * actions[None])                       # (dec, N, 12)
+        targets = inp * cfg.control.action_scale + self.default_dof_pos
+        strength = (state.motor_strength
+                    if cfg.domain_rand.randomize_motor_strength
+                    else jnp.ones((N, 12)))
+        sim, last_out, torques = self.physics_step(
+            state.dyn, state.sim, targets, kp, kd, strength,
+            state.motor_offset)
 
         # ---- post-physics (legged_robot.py:102-142) ----
         episode_length = state.episode_length + 1

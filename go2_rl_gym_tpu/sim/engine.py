@@ -48,8 +48,8 @@ class SimParams(NamedTuple):
     """Static simulation parameters (python scalars -> baked into the jit)."""
     dt: float = 0.005
     gravity: float = -9.81
-    num_contacts: int = 24           # top-K active contact points per env
-    solver_iters: int = 12           # Jacobi iterations
+    num_contacts: int = 12           # top-K active contact points per env
+    solver_iters: int = 8            # Jacobi iterations
     relaxation: float = 0.65
     baumgarte: float = 0.2
     contact_slop: float = 0.002      # [m]
