@@ -134,22 +134,40 @@ def quat_rotate_inverse_wxyz(q, v):
 
 
 class TorchPolicy:
-    """Wraps a TorchScript export (ours or the reference's)."""
+    """Wraps a TorchScript export (ours or the reference's).
 
-    def __init__(self, path: str):
+    For MoE exports (``action, (weights, latent)``) the per-step gating
+    weights and latents are recorded when ``record_moe=True`` — the headless
+    counterpart of the reference's MoE-weight HUD / latent dumping
+    (deploy_go2.py:236-253, deploy_go2_moe.py)."""
+
+    def __init__(self, path: str, record_moe: bool = False):
         import torch
         self.torch = torch
         self.policy = torch.jit.load(path)
         if hasattr(self.policy, "reset"):
             self.policy.reset()
+        self.record_moe = record_moe
+        self.moe_weights = []
+        self.moe_latents = []
 
     def __call__(self, obs: np.ndarray) -> np.ndarray:
         t = self.torch.from_numpy(obs.astype(np.float32)).unsqueeze(0)
         with self.torch.no_grad():
             result = self.policy(t)
         if isinstance(result, tuple):
-            result = result[0]
+            action, extras = result
+            if self.record_moe and isinstance(extras, tuple):
+                self.moe_weights.append(
+                    extras[0].detach().numpy().squeeze().copy())
+                self.moe_latents.append(
+                    extras[1].detach().numpy().squeeze().copy())
+            result = action
         return result.detach().cpu().numpy().squeeze()
+
+    def save_moe_traces(self, out_path: str):
+        np.savez(out_path, weights=np.asarray(self.moe_weights),
+                 latents=np.asarray(self.moe_latents))
 
 
 class JaxPolicy:
@@ -186,12 +204,26 @@ def run_episode(policy: Callable, scene: str = "flat",
                 cmd=(1.0, 0.0, 0.0), duration_s: float = 10.0,
                 simulation_dt: float = 0.002, control_decimation: int = 10,
                 kp: float = 20.0, kd: float = 0.5, action_scale: float = 0.25,
-                seed: int = 0) -> Dict[str, float]:
-    """One sim2sim episode. Returns tracking/safety metrics."""
+                seed: int = 0, video_path: Optional[str] = None,
+                video_fps: int = 25) -> Dict[str, float]:
+    """One sim2sim episode. Returns tracking/safety metrics.
+
+    video_path: offscreen-render the episode to an .mp4 (the headless
+    counterpart of the reference's --save-video, deploy_go2.py:199-206)."""
     import mujoco
 
     m = load_scene_model(scene)
     m.opt.timestep = simulation_dt
+    renderer = writer = None
+    if video_path:
+        try:
+            import imageio
+            renderer = mujoco.Renderer(m, height=360, width=640)
+            writer = imageio.get_writer(video_path, fps=video_fps)
+            frame_skip = max(int(1.0 / (video_fps * simulation_dt)), 1)
+        except Exception as e:  # no offscreen GL in this environment
+            print(f"[mujoco_eval] video disabled ({e})")
+            renderer = writer = None
     d = mujoco.MjData(m)
     cmd = np.asarray(cmd, np.float32)
     cmd_scale = np.array([2.0, 2.0, 0.25], np.float32)
@@ -212,6 +244,10 @@ def run_episode(policy: Callable, scene: str = "flat",
         tau = (target - d.qpos[7:]) * kp - d.qvel[6:] * kd
         d.ctrl[:] = tau
         mujoco.mj_step(m, d)
+
+        if writer is not None and counter % frame_skip == 0:
+            renderer.update_scene(d)
+            writer.append_data(renderer.render())
 
         if counter % control_decimation == 0:
             quat = d.qpos[3:7]  # wxyz in mujoco
@@ -239,6 +275,8 @@ def run_episode(policy: Callable, scene: str = "flat",
                 fell = True
                 break
 
+    if writer is not None:
+        writer.close()
     vel_err = float(np.mean(vel_errs)) if vel_errs else 10.0
     ang_err = float(np.mean(ang_errs)) if ang_errs else 10.0
     return {

@@ -609,6 +609,10 @@ class Go2Env:
             noise = (2.0 * jax.random.uniform(noise_key, obs.shape) - 1.0) * self.noise_vec
             obs = obs + noise
         clip = self.cfg.normalization.clip_observations
+        # NaN passes through jnp.clip — sanitize so a just-reset bad env's
+        # stale quantities cannot leak non-finite values into the policy
+        obs = jnp.where(jnp.isfinite(obs), obs, 0.0)
+        priv = jnp.where(jnp.isfinite(priv), priv, 0.0)
         return jnp.clip(obs, -clip, clip), jnp.clip(priv, -clip, clip)
 
     # ------------------------------------------------------------------
@@ -773,7 +777,19 @@ class Go2Env:
         if cfg.init_state.turn_over:
             contact_term = jnp.zeros(N, bool)
         time_out = episode_length > self.max_episode_length
-        reset_buf = contact_term | time_out
+        # failsafe: reset any env whose state went non-finite or escaped the
+        # world (a PhysX-style invalid-state recovery; one pathological env
+        # must never poison the batch)
+        bad_state = ~(jnp.isfinite(sim.base_pos).all(axis=1)
+                      & jnp.isfinite(sim.base_quat).all(axis=1)
+                      & jnp.isfinite(sim.qd).all(axis=1)
+                      & (jnp.abs(sim.base_pos) < 1e4).all(axis=1))
+        # a base driven below the terrain surface is an invalid state the
+        # top-K contact set may fail to report as base contact (all K slots
+        # taken by deeper leg geoms) — treat as termination
+        ground_z = engine.terrain_height(self.terrain, sim.base_pos[:, :2])
+        bad_state = bad_state | ((sim.base_pos[:, 2] - ground_z) < 0.0)
+        reset_buf = contact_term | time_out | bad_state
 
         # ---- rewards ----
         rew, episode_sums, feet_state = self._compute_rewards(
@@ -933,6 +949,10 @@ class Go2Env:
 
         # clear feet air time on contact (legged_robot.py:1357)
         feet_air_time = feet_air_time * (~contact_filt)
+        # a non-finite reward from a pathological env would poison the global
+        # advantage normalization (rollout_storage.py:136-137) — zero it; the
+        # env resets this step anyway via the bad-state failsafe
+        total = jnp.where(jnp.isfinite(total), total, 0.0)
         return total, episode_sums, (feet_air_time, last_contacts, last_contacts2)
 
     def _metrics(self, state, done):

@@ -318,3 +318,53 @@ def export_policy_as_pkl(params, meta, out_dir: str,
     path = os.path.join(out_dir, filename)
     export_policy_params(params, meta, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Stacked-history (ONNX-style) input adapter
+# ---------------------------------------------------------------------------
+
+
+def build_torch_policy_stacked(params, family: str, num_obs: int = 45,
+                               history_length: int = 5,
+                               obs_no_goal_mask=None,
+                               term_dims=(3, 3, 3, 12, 12, 12)):
+    """Policy consuming a full stacked-BY-TERM obs history in one tensor.
+
+    Counterpart of the reference ONNX exporter's `flatten_obs` interface
+    (exporter.py:238-262): evaluation harnesses (RoboGauge-style) feed
+    IsaacLab-layout inputs [term0 over all frames | term1 over all frames |
+    ...]; this adapter reorders them to stacked-by-frame and runs the
+    stateless policy (no internal ring buffer)."""
+    import torch
+    import torch.nn as nn
+
+    inner = build_torch_policy(params, family, num_obs, history_length,
+                               obs_no_goal_mask)
+    dims = list(term_dims)
+    obs_dim = sum(dims)
+    assert obs_dim == num_obs
+
+    class Stacked(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.inner = inner
+            self.term_dims = dims
+            self.hl = history_length
+            self.no = num_obs
+
+        def forward(self, x):
+            frames = x.shape[1] // self.no
+            chunks = torch.split(
+                x, [d * frames for d in self.term_dims], dim=1)
+            per_term = [c.reshape(-1, frames, d)
+                        for c, d in zip(chunks, self.term_dims)]
+            history = torch.cat(per_term, dim=2)          # (B, frames, obs)
+            # feed frames through the inner ring-buffer policy in order
+            self.inner.reset()
+            out = self.inner(history[:, 0, :])
+            for i in range(1, frames):
+                out = self.inner(history[:, i, :])
+            return out
+
+    return Stacked()

@@ -59,6 +59,13 @@ class SimParams(NamedTuple):
     armature: float = 1e-3
     joint_limit_stiffness: float = 300.0
     joint_limit_damping: float = 2.0
+    # PhysX-style velocity clamps (reference asset cfg max_angular_velocity /
+    # max_linear_velocity = 1000, legged_robot_config.py:131-132; PhysX's
+    # default maxJointVelocity ~ 100). These bound any numerical blowup so a
+    # single pathological env cannot poison the batch with inf/NaN.
+    max_linear_velocity: float = 1000.0
+    max_angular_velocity: float = 1000.0
+    max_joint_velocity: float = 100.0
 
 
 class SimState(NamedTuple):
@@ -672,7 +679,10 @@ def substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     u_cur = jnp.concatenate([state.base_ang_vel, state.base_lin_vel, state.qd])
     u_free = u_cur + dt * du_free
 
-    d_diag = jnp.sum(Jc_flat * Binv, axis=1).reshape(K, 3) + params.contact_compliance
+    # clamp: f32 roundoff on ill-conditioned H can push the J H^-1 J^T
+    # diagonal slightly negative -> inverse blows up the impulse solve
+    d_diag = jnp.maximum(jnp.sum(Jc_flat * Binv, axis=1).reshape(K, 3),
+                         0.0) + params.contact_compliance
     inv_d = 1.0 / d_diag
 
     vn0 = jnp.sum(cvel * n, axis=-1)
@@ -705,9 +715,12 @@ def substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     u_new = u_free + jnp.einsum("kfe,kf->e", Bmat, lam)
 
     # ---- integrate (semi-implicit Euler) ----
-    new_ang = u_new[:3]
-    new_lin = u_new[3:6]
-    new_qd = u_new[6:]
+    new_ang = jnp.clip(u_new[:3], -params.max_angular_velocity,
+                       params.max_angular_velocity)
+    new_lin = jnp.clip(u_new[3:6], -params.max_linear_velocity,
+                       params.max_linear_velocity)
+    new_qd = jnp.clip(u_new[6:], -params.max_joint_velocity,
+                      params.max_joint_velocity)
     new_pos = state.base_pos + dt * new_lin
     new_quat = maths.quat_integrate(state.base_quat, new_ang, dt)
     new_q = state.q + dt * new_qd

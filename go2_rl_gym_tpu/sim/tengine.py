@@ -301,10 +301,13 @@ def _mass_matrix_and_bias(layout, params: SimParams, dyn_t, s: TState,
 
 def _substep(model: RobotModel, layout: QuadLayout, params: SimParams,
              terrain: TerrainData, dyn_t, fric, rest, s: TState,
-             tau, implicit_damping):
+             tau, implicit_damping, lam_geom):
     """One physics substep, full batch, T layout.
 
-    tau, implicit_damping: (12, N). Returns (TState, outputs dict in T layout).
+    tau, implicit_damping: (12, N). lam_geom: (G, 3, N) warm-start impulses
+    from the previous substep, keyed by geom (the PhysX warm-start pattern —
+    makes the fixed 8-iteration Jacobi solve behave like a much deeper one on
+    persistent contacts). Returns (TState, outputs dict, new lam_geom).
     """
     dt = params.dt
     K = params.num_contacts
@@ -403,7 +406,8 @@ def _substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     u_cur = jnp.concatenate([w_b, u_b, s.qd], axis=0)
     u_free = u_cur + dt * du_free
 
-    d_diag = jnp.sum(Jc_flat * Binv, axis=1).reshape(K, 3, N) \
+    d_diag = jnp.maximum(
+        jnp.sum(Jc_flat * Binv, axis=1).reshape(K, 3, N), 0.0) \
         + params.contact_compliance
     inv_d = 1.0 / d_diag
 
@@ -432,14 +436,24 @@ def _substep(model: RobotModel, layout: QuadLayout, params: SimParams,
         lam_t = lam_t * scale * active[:, None, :]
         return jnp.concatenate([lam_n[:, None, :], lam_t], axis=1)
 
-    lam = jax.lax.fori_loop(0, params.solver_iters, solver_body,
-                            jnp.zeros((K, 3, N)))
+    lam0 = jnp.take_along_axis(lam_geom, cidxT[:, None, :], axis=0)
+    lam0 = lam0 * active[:, None, :]
+    lam = jax.lax.fori_loop(0, params.solver_iters, solver_body, lam0)
+    G = lam_geom.shape[0]
+    lam_geom_new = jnp.zeros((G, 3, N)).at[
+        cidxT[:, None, :], jnp.arange(3)[None, :, None],
+        jnp.arange(N)[None, None, :]].set(lam)
 
     u_new = u_free + jnp.sum(Bmat * lam[:, :, None, :], axis=(0, 1))
 
-    new_ang = tm.mv(Rbase, u_new[:3])
-    new_lin = tm.mv(Rbase, u_new[3:6])
-    new_qd = u_new[6:]
+    new_ang = jnp.clip(tm.mv(Rbase, u_new[:3]),
+                       -params.max_angular_velocity,
+                       params.max_angular_velocity)
+    new_lin = jnp.clip(tm.mv(Rbase, u_new[3:6]),
+                       -params.max_linear_velocity,
+                       params.max_linear_velocity)
+    new_qd = jnp.clip(u_new[6:], -params.max_joint_velocity,
+                      params.max_joint_velocity)
     new_pos = s.pos + dt * new_lin
     new_quat = tm.quat_integrate(s.quat, new_ang, dt)
     new_q = s.q + dt * new_qd
@@ -460,7 +474,7 @@ def _substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     foot_vel = gvel[foot_idx]
     outs = dict(contact_forces=body_forces, foot_forces=foot_forces,
                 foot_pos=foot_pos, foot_vel=foot_vel)
-    return new_s, outs
+    return new_s, outs, lam_geom_new
 
 
 def make_physics_step(model: RobotModel, params: SimParams,
@@ -488,17 +502,22 @@ def make_physics_step(model: RobotModel, params: SimParams,
         strT, offT = motor_strength.T, motor_offset.T
         targetsT = jnp.moveaxis(targets, -1, 1)          # (decimation,12,N)
 
+        G = len(model.geom_body)
+        N = state.base_pos.shape[0]
+
         def body(carry, tgt):
-            s = carry
+            s, lam_geom = carry
             # PD torque (reference legged_robot.py:594-618)
             tau = kpT * (tgt + offT - s.q) - kdT * s.qd
             tau = jnp.clip(tau, -effort, effort)
             tau = tau * strT
-            s2, outs = _substep(model, layout, params, terrain, dyn_t,
-                                fric, rest, s, tau, kdT)
-            return s2, (tau, outs)
+            s2, outs, lam_geom = _substep(model, layout, params, terrain,
+                                          dyn_t, fric, rest, s, tau, kdT,
+                                          lam_geom)
+            return (s2, lam_geom), (tau, outs)
 
-        s, (taus, outs) = jax.lax.scan(body, s, targetsT)
+        (s, _), (taus, outs) = jax.lax.scan(
+            body, (s, jnp.zeros((G, 3, N))), targetsT)
         last = jax.tree.map(lambda x: x[-1], outs)
         outputs = SimOutputs(
             contact_forces=jnp.moveaxis(last["contact_forces"], -1, 0),

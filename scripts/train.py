@@ -34,6 +34,12 @@ def get_args():
                    help="force a jax platform (cpu for debugging)")
     p.add_argument("--headless", action="store_true", help="accepted for CLI "
                    "parity with the reference; rendering is always off")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax NaN checking (slow; for debugging)")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of iterations 10-12")
+    p.add_argument("--eval_interval", type=int, default=0,
+                   help="run async MuJoCo sim2sim eval every N iterations")
     return p.parse_args()
 
 
@@ -44,6 +50,8 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from go2_rl_gym_tpu.utils import registry
     from go2_rl_gym_tpu.utils.helpers import (get_load_path,
@@ -57,6 +65,10 @@ def main():
     runner = registry.make_runner(args.task, env, train_cfg,
                                   log_root=args.log_root,
                                   run_name=args.run_name)
+    if args.eval_interval:
+        runner.eval_interval = args.eval_interval
+        from go2_rl_gym_tpu.train.eval_hook import AsyncEvaluator
+        runner.evaluator = AsyncEvaluator(runner.log_dir)
 
     key = jax.random.PRNGKey(train_cfg.seed)
     rs = runner.init_runner_state(key, init_at_random_ep_len=True)
@@ -66,7 +78,14 @@ def main():
                              args.load_run, args.checkpoint)
         print(f"resuming from {path}")
         rs = runner.load(rs, path)
-    runner.learn(rs, train_cfg.runner.max_iterations)
+
+    if args.profile_dir:
+        rs = runner.learn(rs, 10)
+        with jax.profiler.trace(args.profile_dir):
+            rs = runner.learn(rs, 3)
+        runner.learn(rs, train_cfg.runner.max_iterations - 13)
+    else:
+        runner.learn(rs, train_cfg.runner.max_iterations)
 
 
 if __name__ == "__main__":

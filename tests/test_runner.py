@@ -1,0 +1,89 @@
+"""Runner-level tests: checkpoint round-trip, learn-loop smoke, CTS minibatch
+layout invariant after the pre-permute refactor."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from go2_rl_gym_tpu.agents import cts as cts_lib
+from go2_rl_gym_tpu.env.config import (AlgorithmCfg, Go2Cfg, PolicyCfg,
+                                       go2_cts_train_cfg, go2_ppo_train_cfg)
+from go2_rl_gym_tpu.env.go2_env import Go2Env
+from go2_rl_gym_tpu.train.runner import OnPolicyRunner
+
+
+def tiny_env(num_envs=8):
+    cfg = Go2Cfg()
+    cfg.env.num_envs = num_envs
+    cfg.terrain.mesh_type = "plane"
+    cfg.terrain.measure_heights = False
+    cfg.terrain.curriculum = False
+    return Go2Env(cfg, num_steps_per_env=4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tc = go2_ppo_train_cfg()
+    tc.runner.num_steps_per_env = 4
+    env = tiny_env()
+    runner = OnPolicyRunner(env, tc, log_dir=None)
+    rs = runner.init_runner_state(jax.random.PRNGKey(0))
+    rs, _ = runner._train_step(rs)
+    runner.current_iteration = 17
+    path = os.path.join(str(tmp_path), "model_17")
+    runner.save(rs, path)
+
+    runner2 = OnPolicyRunner(env, tc, log_dir=None)
+    rs2 = runner2.init_runner_state(jax.random.PRNGKey(99))
+    rs2 = runner2.load(rs2, path)
+    assert runner2.current_iteration == 17
+    # full pytree restored: params AND env state (exact resume)
+    p1 = jax.tree.leaves(rs.train_state.params)
+    p2 = jax.tree.leaves(rs2.train_state.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(rs.env_state.episode_length),
+                                  np.asarray(rs2.env_state.episode_length))
+    np.testing.assert_array_equal(np.asarray(rs.env_state.key),
+                                  np.asarray(rs2.env_state.key))
+    # resumed training continues identically
+    ra, _ = runner._train_step(rs)
+    rb, _ = runner2._train_step(rs2)
+    np.testing.assert_allclose(np.asarray(jax.tree.leaves(ra.train_state.params)[0]),
+                               np.asarray(jax.tree.leaves(rb.train_state.params)[0]),
+                               atol=1e-6)
+
+
+def test_learn_loop_smoke(tmp_path):
+    tc = go2_cts_train_cfg()
+    tc.runner.num_steps_per_env = 4
+    tc.runner.save_interval = 2
+    env = tiny_env()
+    runner = OnPolicyRunner(env, tc, log_dir=str(tmp_path))
+    rs = runner.init_runner_state(jax.random.PRNGKey(0))
+    rs = runner.learn(rs, 3, log_every=1, print_every=10)
+    assert os.path.exists(os.path.join(str(tmp_path), "metrics.jsonl"))
+    assert os.path.exists(os.path.join(str(tmp_path), "config.yaml"))
+    assert any(d.startswith("model_") for d in os.listdir(str(tmp_path)))
+
+
+def test_cts_minibatch_teacher_first_layout():
+    """After pre-permute, every minibatch slot must contain exactly tmb
+    teacher samples then smb student samples (the invariant the update's
+    surrogate split relies on, reference rollout_storage_cts.py:194-216)."""
+    N, T = 8, 4
+    alg = cts_lib.CTS("CTS", 45, 263, 12, N, 5, PolicyCfg(
+        actor_hidden_dims=(16,), critic_hidden_dims=(16,),
+        teacher_encoder_hidden_dims=(16,), student_encoder_hidden_dims=(16,)),
+        AlgorithmCfg(num_mini_batches=2, num_learning_epochs=1))
+    # tag each sample with its env id in obs[...,0]
+    env_ids = jnp.broadcast_to(jnp.arange(N)[None, :, None], (T, N, 1))
+    obs = jnp.concatenate([env_ids.astype(jnp.float32),
+                           jnp.zeros((T, N, 44))], axis=-1)
+    flat = jnp.swapaxes(obs, 0, 1).reshape(N * T, 45)
+    t_pos, s_pos = alg._flat_indices(T)
+    teacher_ids = set(np.asarray(flat[t_pos][:, 0], np.int32))
+    student_ids = set(np.asarray(flat[s_pos][:, 0], np.int32))
+    assert teacher_ids == set(alg.teacher_envs.tolist())
+    assert student_ids == set(alg.student_envs.tolist())

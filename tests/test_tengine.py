@@ -37,6 +37,9 @@ def rand_states(key, N):
 def test_physics_step_matches_vmap_engine(setup):
     """One decimated step: T-layout batch path vs per-env vmap path."""
     model, params, terrain, layout = setup
+    # deep solver: with enough iterations both paths converge to the same
+    # contact solution, making warm-starting (T path only) irrelevant
+    params = params._replace(solver_iters=30)
     N, DEC = 8, 4
     key = jax.random.PRNGKey(0)
     state = rand_states(key, N)
