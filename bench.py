@@ -19,6 +19,8 @@ PER_CHIP_TARGET = 5_000_000 / 16.0
 
 def main():
     import jax
+    from go2_rl_gym_tpu.utils.helpers import enable_compilation_cache
+    enable_compilation_cache()
     from go2_rl_gym_tpu.env.config import Go2Cfg, go2_moe_cts_train_cfg
     from go2_rl_gym_tpu.env.go2_env import Go2Env
     from go2_rl_gym_tpu.train.runner import OnPolicyRunner

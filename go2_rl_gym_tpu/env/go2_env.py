@@ -121,11 +121,9 @@ class Go2Env:
         # ---- terrain ----
         if cfg.terrain.mesh_type in ("heightfield", "trimesh"):
             self.grid = generator.build_terrain(cfg.terrain, seed=terrain_seed)
-            self.terrain = engine.TerrainData(
-                height=jnp.asarray(self.grid.heights_m),
-                horizontal_scale=self.grid.horizontal_scale,
-                border_offset=self.grid.border_size,
-                is_flat=False)
+            self.terrain = engine.make_terrain_data(
+                self.grid.heights_m, self.grid.horizontal_scale,
+                self.grid.border_size)
             self.terrain_origins = jnp.asarray(self.grid.env_origins, jnp.float32)
             self.cols2id = np.asarray(self.grid.cols2id)
             self.custom_origins = True
@@ -545,11 +543,13 @@ class Go2Env:
     # Heights / observations
     # ------------------------------------------------------------------
 
-    def _get_heights(self, sim: engine.SimState):
+    def _get_heights(self, sim: engine.SimState, patch_data=None):
         """187-point yaw-rotated height scan (legged_robot.py:1188-1224).
 
         Component-wise (N, P) math: an (N, P, 3) intermediate would pad its
-        trailing dim 3 to 128 TPU lanes (40x HBM blowup)."""
+        trailing dim 3 to 128 TPU lanes (40x HBM blowup). When the physics
+        step extracted terrain patches this reuses them (one in-patch one-hot
+        lookup instead of a 187xN global gather)."""
         if self.grid is None:
             return jnp.zeros((self.num_envs, self.num_height_points))
         # yaw-only rotation from the quat's z,w components (normalized)
@@ -564,11 +564,18 @@ class Go2Env:
         px = sim.base_pos[:, 0:1] + cos_t * hx - sin_t * hy    # (N,P)
         py = sim.base_pos[:, 1:2] + sin_t * hx + cos_t * hy
         t = self.terrain
+        ix_f = (px + t.border_offset) / t.horizontal_scale
+        iy_f = (py + t.border_offset) / t.horizontal_scale
+        if patch_data is not None:
+            from go2_rl_gym_tpu.ops import terrain_patches as tp
+            patches_flat, origins = patch_data
+            hmin, _, _ = tp.lookup(patches_flat, origins,
+                                   ix_f.astype(jnp.int32),
+                                   iy_f.astype(jnp.int32))
+            return hmin
         hs = t.height
-        ix = jnp.clip(((px + t.border_offset) / t.horizontal_scale)
-                      .astype(jnp.int32), 0, hs.shape[0] - 2)
-        iy = jnp.clip(((py + t.border_offset) / t.horizontal_scale)
-                      .astype(jnp.int32), 0, hs.shape[1] - 2)
+        ix = jnp.clip(ix_f.astype(jnp.int32), 0, hs.shape[0] - 2)
+        iy = jnp.clip(iy_f.astype(jnp.int32), 0, hs.shape[1] - 2)
         h1 = hs[ix, iy]
         h2 = hs[ix + 1, iy]
         h3 = hs[ix, iy + 1]
@@ -721,7 +728,7 @@ class Go2Env:
         strength = (state.motor_strength
                     if cfg.domain_rand.randomize_motor_strength
                     else jnp.ones((N, 12)))
-        sim, last_out, torques = self.physics_step(
+        sim, last_out, torques, patch_data = self.physics_step(
             state.dyn, state.sim, targets, kp, kd, strength,
             state.motor_offset)
 
@@ -769,7 +776,7 @@ class Go2Env:
                                  commands.at[:, 2].set(yaw_cmd))
             state = state._replace(commands=commands)
 
-        measured_heights = self._get_heights(sim)
+        measured_heights = self._get_heights(sim, patch_data)
 
         # ---- termination (legged_robot.py:170-178) ----
         term_f = state.contact_forces[:, jnp.asarray(self.termination_bodies), :]

@@ -143,16 +143,34 @@ def quad_layout(model: RobotModel) -> QuadLayout:
 
 
 class TerrainData(NamedTuple):
-    """Device-resident heightfield. For `flat`, a 2x2 zero grid is used."""
+    """Device-resident heightfield. For `flat`, a 2x2 zero grid is used.
+
+    `channels` optionally carries the precomputed (R, C, 3) [hmin, dx, dy]
+    grid consumed by the patch-based fast path (ops/terrain_patches.py)."""
     height: jax.Array        # (rows, cols) f32 meters
     horizontal_scale: float
     border_offset: float     # world xy offset of the grid origin (border_size)
     is_flat: bool
+    channels: object = None  # (rows, cols, 3) f32 or None
 
 
 def flat_terrain() -> TerrainData:
     return TerrainData(height=jnp.zeros((2, 2), jnp.float32),
                        horizontal_scale=1.0, border_offset=0.0, is_flat=True)
+
+
+def make_terrain_data(heights_m, horizontal_scale, border_size,
+                      with_channels: bool = True) -> TerrainData:
+    """Build TerrainData (+ patch channels) from a heightfield in meters."""
+    from go2_rl_gym_tpu.ops import terrain_patches as tp
+    channels = None
+    if with_channels:
+        channels = jnp.asarray(
+            tp.build_channels(np.asarray(heights_m), horizontal_scale))
+    return TerrainData(height=jnp.asarray(heights_m, jnp.float32),
+                      horizontal_scale=horizontal_scale,
+                      border_offset=border_size, is_flat=False,
+                      channels=channels)
 
 
 def terrain_height(terrain: TerrainData, xy: jax.Array) -> jax.Array:

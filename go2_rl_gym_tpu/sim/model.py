@@ -305,8 +305,13 @@ _GO2_URDF_CANDIDATES = (
 _cached_go2 = None
 
 
+_GO2_JSON = os.path.join(os.path.dirname(__file__), "..", "..",
+                         "resources", "go2_model.json")
+
+
 def go2_model() -> RobotModel:
-    """Load the Go2 model (cached). Falls back through known URDF locations."""
+    """Load the Go2 model (cached): a URDF if available, else the repo's
+    serialized model (resources/go2_model.json) for standalone use."""
     global _cached_go2
     if _cached_go2 is None:
         for path in _GO2_URDF_CANDIDATES:
@@ -314,6 +319,46 @@ def go2_model() -> RobotModel:
                 _cached_go2 = parse_urdf(path)
                 break
         else:
-            raise FileNotFoundError(
-                "go2 URDF not found; set GO2_URDF_PATH or place resources/go2.urdf")
+            if os.path.exists(_GO2_JSON):
+                _cached_go2 = load_model(_GO2_JSON)
+            else:
+                raise FileNotFoundError(
+                    "go2 model not found; set GO2_URDF_PATH or restore "
+                    "resources/go2_model.json")
     return _cached_go2
+
+
+# ---------------------------------------------------------------------------
+# Native model serialization (standalone distribution without the URDF)
+# ---------------------------------------------------------------------------
+
+_ARRAY_FIELDS = ("parent", "joint_axis", "joint_origin", "mass", "com",
+                 "inertia", "dof_lower", "dof_upper", "dof_vel_limit",
+                 "dof_effort_limit", "geom_body", "geom_offset", "geom_radius",
+                 "geom_group", "foot_geom_idx", "foot_body_idx")
+
+
+def save_model(model: RobotModel, path: str):
+    """Serialize a parsed model to JSON (this framework's native format)."""
+    import json
+    blob = {"nb": model.nb, "nv": model.nv,
+            "dof_names": model.dof_names, "body_names": model.body_names}
+    for f in _ARRAY_FIELDS:
+        blob[f] = np.asarray(getattr(model, f)).tolist()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(blob, fh)
+
+
+def load_model(path: str) -> RobotModel:
+    import json
+    with open(path) as fh:
+        blob = json.load(fh)
+    kwargs = dict(nb=blob["nb"], nv=blob["nv"], dof_names=blob["dof_names"],
+                  body_names=blob["body_names"])
+    int_fields = ("parent", "geom_body", "geom_group", "foot_geom_idx",
+                  "foot_body_idx")
+    for f in _ARRAY_FIELDS:
+        dtype = np.int32 if f in int_fields else np.float64
+        kwargs[f] = np.asarray(blob[f], dtype)
+    return RobotModel(**kwargs)

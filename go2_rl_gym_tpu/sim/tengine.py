@@ -301,7 +301,7 @@ def _mass_matrix_and_bias(layout, params: SimParams, dyn_t, s: TState,
 
 def _substep(model: RobotModel, layout: QuadLayout, params: SimParams,
              terrain: TerrainData, dyn_t, fric, rest, s: TState,
-             tau, implicit_damping, lam_geom):
+             tau, implicit_damping, lam_geom, patch_data=None):
     """One physics substep, full batch, T layout.
 
     tau, implicit_damping: (12, N). lam_geom: (G, 3, N) warm-start impulses
@@ -340,7 +340,20 @@ def _substep(model: RobotModel, layout: QuadLayout, params: SimParams,
 
     # ---- contact candidates: top-K most penetrating ----
     radius = jnp.asarray(model.geom_radius, jnp.float32)[:, None]
-    h = _terrain_height_t(terrain, gpos[:, 0, :], gpos[:, 1, :])   # (G,N)
+    if patch_data is not None:
+        # patch fast path: one in-patch one-hot lookup yields height AND the
+        # slope channels for every geom (ops/terrain_patches.py)
+        from go2_rl_gym_tpu.ops import terrain_patches as tp
+        patches_flat, origins = patch_data
+        scale = terrain.horizontal_scale
+        ix = ((gpos[:, 0, :] + terrain.border_offset) / scale).astype(jnp.int32)
+        iy = ((gpos[:, 1, :] + terrain.border_offset) / scale).astype(jnp.int32)
+        hmin, dxg, dyg = tp.lookup(patches_flat, origins, ix.T, iy.T)
+        h = hmin.T                                        # (G,N)
+        dx_g, dy_g = dxg.T, dyg.T
+    else:
+        h = _terrain_height_t(terrain, gpos[:, 0, :], gpos[:, 1, :])   # (G,N)
+        dx_g = dy_g = None
     gap = gpos[:, 2, :] - radius - h
     neg_gap, cidx = jax.lax.top_k((-gap).T, K)            # (N,K) both
     cidxT = cidx.T                                        # (K,N)
@@ -350,7 +363,13 @@ def _substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     cvel = take(gvel)
     cgap = neg_gap.T                                      # (K,N)
     cbody = jnp.asarray(model.geom_body)[cidxT]           # (K,N)
-    n = _terrain_normal_t(terrain, cpos[:, 0, :], cpos[:, 1, :])  # (K,3,N)
+    if patch_data is not None:
+        dx_c = take(dx_g)
+        dy_c = take(dy_g)
+        n = jnp.stack([-dx_c, -dy_c, jnp.ones_like(dx_c)], axis=1)  # (K,3,N)
+        n = n / tm.norm(n)[..., None, :]
+    else:
+        n = _terrain_normal_t(terrain, cpos[:, 0, :], cpos[:, 1, :])
     active = cgap > -1e-4
     pen = jnp.maximum(cgap, 0.0)
 
@@ -489,6 +508,12 @@ def make_physics_step(model: RobotModel, params: SimParams,
     """
     layout = quad_layout(model)
     effort = jnp.asarray(model.dof_effort_limit, jnp.float32)[:, None]
+    import os as _os
+    # pallas DMA extraction is opt-in: the mosaic kernel hung the remote
+    # compile through the axon relay; the scan-of-dynamic-slices XLA path
+    # compiles everywhere and is nearly as fast
+    use_pallas = (_os.environ.get("GO2_PALLAS") == "1"
+                  and jax.default_backend() == "tpu")
 
     def step(dyn: DynParams, state: SimState, targets, kp, kd,
              motor_strength, motor_offset):
@@ -505,6 +530,21 @@ def make_physics_step(model: RobotModel, params: SimParams,
         G = len(model.geom_body)
         N = state.base_pos.shape[0]
 
+        # --- per-policy-step terrain patches (ops/terrain_patches.py) ---
+        patch_data = None
+        if terrain.channels is not None and not terrain.is_flat:
+            from go2_rl_gym_tpu.ops import terrain_patches as tp
+            scale = terrain.horizontal_scale
+            R_, C_ = terrain.channels.shape[:2]
+            bix = ((state.base_pos[:, 0] + terrain.border_offset)
+                   / scale).astype(jnp.int32)
+            biy = ((state.base_pos[:, 1] + terrain.border_offset)
+                   / scale).astype(jnp.int32)
+            origins = tp.compute_origins(bix, biy, R_, C_)
+            patches = tp.extract_patches(terrain.channels, origins,
+                                         use_pallas=use_pallas)
+            patch_data = (patches.reshape(N, tp.PATCH * tp.PATCH, 3), origins)
+
         def body(carry, tgt):
             s, lam_geom = carry
             # PD torque (reference legged_robot.py:594-618)
@@ -513,7 +553,7 @@ def make_physics_step(model: RobotModel, params: SimParams,
             tau = tau * strT
             s2, outs, lam_geom = _substep(model, layout, params, terrain,
                                           dyn_t, fric, rest, s, tau, kdT,
-                                          lam_geom)
+                                          lam_geom, patch_data)
             return (s2, lam_geom), (tau, outs)
 
         (s, _), (taus, outs) = jax.lax.scan(
@@ -525,6 +565,6 @@ def make_physics_step(model: RobotModel, params: SimParams,
             foot_pos=jnp.moveaxis(last["foot_pos"], -1, 0),
             foot_vel=jnp.moveaxis(last["foot_vel"], -1, 0),
         )
-        return from_t(s), outputs, taus[-1].T
+        return from_t(s), outputs, taus[-1].T, patch_data
 
     return step

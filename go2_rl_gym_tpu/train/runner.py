@@ -86,7 +86,23 @@ class OnPolicyRunner:
                     "train_cfg": dataclasses.asdict(train_cfg),
                     "env_cfg": dataclasses.asdict(env.cfg),
                 }, f)
+        self.mesh = None
         self._train_step = jax.jit(self._build_train_step())
+
+    def attach_mesh(self, rs: RunnerState, n_devices: Optional[int] = None):
+        """Switch to data-parallel execution over a device mesh: envs shard
+        on the `data` axis, params replicate, XLA inserts the collectives
+        (the reference has no working multi-device path — SURVEY.md §2.5).
+
+        Returns the resharded RunnerState; subsequent learn() calls use the
+        sharded train step."""
+        from go2_rl_gym_tpu.distributed import mesh as mesh_lib
+        self.mesh = mesh_lib.make_mesh(n_devices)
+        rs = mesh_lib.shard_runner_state(self.mesh, rs, self.env.num_envs)
+        in_sh = mesh_lib.batch_shardings(self.mesh, rs, self.env.num_envs)
+        self._train_step = jax.jit(self._build_train_step(),
+                                   in_shardings=(in_sh,))
+        return rs
 
     # ------------------------------------------------------------------
 

@@ -69,3 +69,15 @@ def update_cfg_from_args(env_cfg, train_cfg, args):
             env_cfg.terrain.measure_heights = False
             env_cfg.terrain.curriculum = False
     return env_cfg, train_cfg
+
+
+def enable_compilation_cache(path: str = "/tmp/go2_jax_cache"):
+    """Persistent XLA compilation cache — the fused train step takes minutes
+    to compile (remote-compiled through the TPU relay in this environment);
+    caching makes repeated runs start in seconds."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass

@@ -40,6 +40,11 @@ def get_args():
                    help="capture a jax.profiler trace of iterations 10-12")
     p.add_argument("--eval_interval", type=int, default=0,
                    help="run async MuJoCo sim2sim eval every N iterations")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (multi-host TPU slice)")
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="shard envs over this many devices (default: all "
+                        "when >1 device is visible)")
     return p.parse_args()
 
 
@@ -50,6 +55,8 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from go2_rl_gym_tpu.utils.helpers import enable_compilation_cache
+    enable_compilation_cache()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
@@ -70,8 +77,16 @@ def main():
         from go2_rl_gym_tpu.train.eval_hook import AsyncEvaluator
         runner.evaluator = AsyncEvaluator(runner.log_dir)
 
+    if args.multihost:
+        jax.distributed.initialize()
+        print(f"process {jax.process_index()}/{jax.process_count()}, "
+              f"{len(jax.devices())} devices")
+
     key = jax.random.PRNGKey(train_cfg.seed)
     rs = runner.init_runner_state(key, init_at_random_ep_len=True)
+    if args.num_devices or args.multihost or len(jax.devices()) > 1:
+        rs = runner.attach_mesh(rs, args.num_devices)
+        print(f"data-parallel over {len(runner.mesh.devices.flat)} devices")
     if args.resume:
         path = get_load_path(os.path.join(args.log_root,
                                           train_cfg.runner.experiment_name),

@@ -53,7 +53,7 @@ def test_physics_step_matches_vmap_engine(setup):
     zeros = jnp.zeros((N, 12))
 
     step_t = jax.jit(tengine.make_physics_step(model, params, terrain, DEC))
-    s_t, out_t, tau_t = step_t(dyn, state, targets, kp, kd, ones, zeros)
+    s_t, out_t, tau_t, _ = step_t(dyn, state, targets, kp, kd, ones, zeros)
 
     # reference path: vmapped substep with identical torque law
     effort = jnp.asarray(model.dof_effort_limit, jnp.float32)
@@ -104,8 +104,50 @@ def test_tlayout_standing(setup):
     step_t = jax.jit(tengine.make_physics_step(model, params, terrain, DEC))
     s = state
     for _ in range(150):   # 3 s
-        s, out, tau = step_t(dyn, s, targets, kp, kd, ones, zeros)
+        s, out, tau, _ = step_t(dyn, s, targets, kp, kd, ones, zeros)
     assert bool(jnp.isfinite(s.base_pos).all())
     fz = np.asarray(out.contact_forces[:, :, 2].sum(axis=1))
     np.testing.assert_allclose(fz, 15.019 * 9.81, rtol=0.03)
     assert np.all(np.asarray(s.base_pos[:, 2]) > 0.2)
+
+
+def test_patch_path_matches_global_gather(setup):
+    """Rough terrain: the patch-based fast path must reproduce the
+    global-gather path (same hmin/slope semantics)."""
+    model, params, _, layout = setup
+    import numpy as _np
+    from go2_rl_gym_tpu.sim.engine import make_terrain_data, TerrainData
+
+    rng = _np.random.default_rng(0)
+    hf = (rng.normal(0, 0.02, (256, 256))
+          + 0.1 * _np.sin(_np.arange(256) * 0.2)[:, None]).astype(_np.float32)
+    t_patch = make_terrain_data(hf, 0.1, 0.0, with_channels=True)
+    t_gather = TerrainData(height=t_patch.height, horizontal_scale=0.1,
+                           border_offset=0.0, is_flat=False, channels=None)
+
+    N, DEC = 8, 4
+    state = rand_states(jax.random.PRNGKey(5), N)
+    state = state._replace(
+        base_pos=state.base_pos + jnp.array([12.0, 12.0, 0.0]))
+    dyn = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (N,) + x.shape) + 0.0,
+        engine.default_dyn_params(model))
+    targets = jnp.broadcast_to(DEFAULT_Q, (DEC, N, 12)) + 0.0
+    kp = jnp.full((N, 12), 20.0)
+    kd = jnp.full((N, 12), 0.5)
+    ones = jnp.ones((N, 12))
+    zeros = jnp.zeros((N, 12))
+
+    s_p, out_p, _, pd = jax.jit(tengine.make_physics_step(
+        model, params, t_patch, DEC))(dyn, state, targets, kp, kd, ones, zeros)
+    assert pd is not None
+    s_g, out_g, _, pdg = jax.jit(tengine.make_physics_step(
+        model, params, t_gather, DEC))(dyn, state, targets, kp, kd, ones, zeros)
+    assert pdg is None
+
+    np.testing.assert_allclose(np.asarray(s_p.base_pos),
+                               np.asarray(s_g.base_pos), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(s_p.q), np.asarray(s_g.q),
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out_p.foot_pos),
+                               np.asarray(out_g.foot_pos), atol=1e-2)
