@@ -1,21 +1,30 @@
 """Patch-based terrain pipeline — kills the heightfield-gather bottleneck.
 
-Measured on v5e at 4096 envs: one contact-height query (78 points/env,
-min-of-3 = 3 global gathers) costs 19.4 ms as XLA gathers over the ~29M-cell
-grid; the engine issues ~5 such query sets per substep (heights + normals),
-x4 substeps — 71 ms of the 86 ms rough-terrain policy step.
+The env and engine sample terrain heights/slopes at hundreds of thousands of
+data-dependent (x, y) points per policy step (contact narrow-phase: 78 geoms
+x N envs x 4 substeps; observation scan: 187 points x N envs). XLA lowers
+these as global gathers over the ~3M-cell grid — random HBM access measured
+at ~20 ns/element on v5e (19.4 ms for one 78-point min-of-3 query set at
+4096 envs).
 
-Replacement:
-1. At terrain build, precompute a 3-channel grid [hmin, dx, dy] where hmin is
-   the reference's min-of-3 height (legged_robot.py:1218-1222) and dx/dy are
-   forward-difference slopes (surface normal = normalize(-dx, -dy, 1)).
-2. Once per policy step, DMA a (PATCH x PATCH x 3) window around each env's
-   base into a dense (N, PATCH, PATCH, 3) array (Pallas kernel; robots move
-   <= 4 cm per 20 ms policy step, so one window serves all 4 substeps AND the
-   187-point observation scan).
-3. Every query becomes an in-patch one-hot contraction
-   (one-hot(cell) @ patch, measured 1.57 ms vs 5 ms take_along_axis) —
-   no data-dependent HBM access in the hot loop.
+Replacement (reference semantics: legged_robot.py:1218-1222 min-of-3):
+1. At terrain build, precompute a channel-major (3, R, C) grid
+   [hmin, dx, dy] where hmin is the reference's min-of-3 height and dx/dy
+   are forward-difference slopes (surface normal = normalize(-dx, -dy, 1)).
+   Channel-major matters: a trailing dim of 3 would be padded to the 128
+   TPU lanes (40x HBM blowup) and blocks DMA/layout optimizations.
+2. Once per policy step, slice a (3, PATCH, PATCH) window around each env's
+   base into a dense (N, 3, PATCH*PATCH) array (robots move <= 4 cm per
+   20 ms policy step, so one window serves all 4 substeps AND the 187-point
+   observation scan).
+3. Every query becomes an in-patch one-hot contraction — no data-dependent
+   HBM access in the hot loop.
+
+Round-1 lesson: the obvious (R, C, 3) layout + scan-of-dynamic-slices cost
+10.6 ms/step *in context* (layout-assignment padded the trailing 3 to 128
+lanes and the scan's dynamic-update-slice wrote strided tiles) even though
+the same code microbenchmarked at 0.035 ms standalone. Channel-major (3, R,
+C) with a flat (N, 3*PATCH*PATCH) row per env keeps every write contiguous.
 """
 from __future__ import annotations
 
@@ -23,19 +32,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-try:
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    HAS_PALLAS = True
-except ImportError:  # pragma: no cover
-    HAS_PALLAS = False
-
 PATCH = 32
-ENV_BLOCK = 8
 
 
 def build_channels(height_m: np.ndarray, horizontal_scale: float) -> np.ndarray:
-    """(R, C) heights -> (R, C, 3) [hmin, dx, dy] channel grid."""
+    """(R, C) heights -> channel-major (3, R, C) [hmin, dx, dy] grid."""
     h = np.asarray(height_m, np.float32)
     hx = np.roll(h, -1, axis=0)
     hx[-1] = h[-1]
@@ -44,7 +45,10 @@ def build_channels(height_m: np.ndarray, horizontal_scale: float) -> np.ndarray:
     hmin = np.minimum(np.minimum(h, hx), hy)
     dx = (hx - h) / horizontal_scale
     dy = (hy - h) / horizontal_scale
-    return np.stack([hmin, dx, dy], axis=-1)
+    # (3, C, R): x (rows of the heightfield) minor — matches the layout XLA
+    # picks for the fast windowed-slice lowering, so no in-context relayout
+    return np.ascontiguousarray(np.stack([hmin, dx, dy], axis=0)
+                                .transpose(0, 2, 1))
 
 
 def compute_origins(base_ix, base_iy, R, C):
@@ -54,81 +58,33 @@ def compute_origins(base_ix, base_iy, R, C):
     return jnp.stack([ox, oy], axis=1)
 
 
-def extract_patches_xla(channels: jax.Array, origins: jax.Array) -> jax.Array:
-    """Fallback without Pallas: a scan of true dynamic_slices.
+def extract_patches(channels: jax.Array, origins: jax.Array) -> jax.Array:
+    """(3, R, C), (N, 2) -> (N, 3, PATCH*PATCH) patch windows.
 
-    vmap(dynamic_slice) would lower to an elementwise gather (~60 ns/element
-    on TPU = hundreds of ms); a scan keeps each patch one contiguous
-    12 KB slice op."""
-    def body(_, o):
-        return None, jax.lax.dynamic_slice(channels, (o[0], o[1], 0),
-                                           (PATCH, PATCH, 3))
-    _, out = jax.lax.scan(body, None, origins)
-    return out
-
-
-def extract_patches_pallas(channels: jax.Array, origins: jax.Array,
-                           interpret: bool = False) -> jax.Array:
-    """(R, C, 3), (N, 2) -> (N, PATCH, PATCH, 3) via per-env DMA."""
+    vmap(dynamic_slice) lowers to ONE HLO gather with slice_sizes
+    (3, PATCH, PATCH): N big contiguous-row window copies, measured at HBM
+    bandwidth (0.018 ms at N=4096) on v5e. (A lax.scan of the same slices
+    also microbenchmarks fine but resists fusion-boundary rewrites in a
+    larger program — the round-1 build lost 11 ms/step to exactly that.)"""
     N = origins.shape[0]
-    assert N % ENV_BLOCK == 0, "env count must be a multiple of ENV_BLOCK"
 
-    def kernel(origins_ref, grid_ref, out_ref, sem):
-        blk = pl.program_id(0)
-        for j in range(ENV_BLOCK):
-            e = blk * ENV_BLOCK + j
-            ox = origins_ref[e, 0]
-            oy = origins_ref[e, 1]
-            copy = pltpu.make_async_copy(
-                grid_ref.at[pl.ds(ox, PATCH), pl.ds(oy, PATCH), :],
-                out_ref.at[j], sem.at[j])
-            copy.start()
-        for j in range(ENV_BLOCK):
-            e = blk * ENV_BLOCK + j
-            ox = origins_ref[e, 0]
-            oy = origins_ref[e, 1]
-            pltpu.make_async_copy(
-                grid_ref.at[pl.ds(ox, PATCH), pl.ds(oy, PATCH), :],
-                out_ref.at[j], sem.at[j]).wait()
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(N // ENV_BLOCK,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (ENV_BLOCK, PATCH, PATCH, 3),
-            lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.ANY),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((ENV_BLOCK,))],
-    )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((N, PATCH, PATCH, 3), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-        compiler_params=(pltpu.CompilerParams(has_side_effects=True)
-                         if (HAS_PALLAS and not interpret) else None),
-    )(origins, channels)
+    def one(o):
+        # channels is (3, C, R): slice (y, x) windows
+        return jax.lax.dynamic_slice(channels, (0, o[1], o[0]),
+                                     (3, PATCH, PATCH))
+    return jax.vmap(one)(origins).reshape(N, 3, PATCH * PATCH)
 
 
-def extract_patches(channels, origins, use_pallas: bool = True,
-                    interpret: bool = False):
-    if use_pallas and HAS_PALLAS and not interpret:
-        try:
-            return extract_patches_pallas(channels, origins)
-        except Exception:
-            pass
-    return extract_patches_xla(channels, origins)
-
-
-def lookup(patches_flat: jax.Array, origins: jax.Array, ix: jax.Array,
+def lookup(patches: jax.Array, origins: jax.Array, ix: jax.Array,
            iy: jax.Array):
-    """In-patch query: (N, PATCH*PATCH, 3) x (N, P) cells -> 3 x (N, P).
+    """In-patch query: (N, 3, PATCH*PATCH) x (N, P) cells -> 3 x (N, P).
 
     ix/iy are absolute grid cells; clamped into the patch window. Returns
     (hmin, dx, dy) each (N, P)."""
     lx = jnp.clip(ix - origins[:, 0:1], 0, PATCH - 1)
     ly = jnp.clip(iy - origins[:, 1:2], 0, PATCH - 1)
-    lin = lx * PATCH + ly                                    # (N, P)
+    lin = ly * PATCH + lx                  # patches are (y, x) windows
+
     onehot = jax.nn.one_hot(lin, PATCH * PATCH, dtype=jnp.float32)
-    vals = jnp.einsum("npc,nck->npk", onehot, patches_flat)
-    return vals[..., 0], vals[..., 1], vals[..., 2]
+    vals = jnp.einsum("npc,nkc->nkp", onehot, patches)       # (N, 3, P)
+    return vals[:, 0], vals[:, 1], vals[:, 2]

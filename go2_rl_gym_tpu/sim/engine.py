@@ -145,13 +145,14 @@ def quad_layout(model: RobotModel) -> QuadLayout:
 class TerrainData(NamedTuple):
     """Device-resident heightfield. For `flat`, a 2x2 zero grid is used.
 
-    `channels` optionally carries the precomputed (R, C, 3) [hmin, dx, dy]
-    grid consumed by the patch-based fast path (ops/terrain_patches.py)."""
+    `channels` optionally carries the precomputed channel-major (3, C, R)
+    [hmin, dx, dy] grid consumed by the patch-based fast path
+    (ops/terrain_patches.py)."""
     height: jax.Array        # (rows, cols) f32 meters
     horizontal_scale: float
     border_offset: float     # world xy offset of the grid origin (border_size)
     is_flat: bool
-    channels: object = None  # (rows, cols, 3) f32 or None
+    channels: object = None  # (3, cols, rows) f32 or None
 
 
 def flat_terrain() -> TerrainData:

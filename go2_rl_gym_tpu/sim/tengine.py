@@ -354,18 +354,32 @@ def _substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     else:
         h = _terrain_height_t(terrain, gpos[:, 0, :], gpos[:, 1, :])   # (G,N)
         dx_g = dy_g = None
+    Gg = gpos.shape[0]
     gap = gpos[:, 2, :] - radius - h
     neg_gap, cidx = jax.lax.top_k((-gap).T, K)            # (N,K) both
     cidxT = cidx.T                                        # (K,N)
-    take = lambda arr: jnp.take_along_axis(
-        arr, cidxT[:, None, :] if arr.ndim == 3 else cidxT, axis=0)
-    cpos = take(gpos)                                     # (K,3,N)
-    cvel = take(gvel)
-    cgap = neg_gap.T                                      # (K,N)
-    cbody = jnp.asarray(model.geom_body)[cidxT]           # (K,N)
+    # one-hot contact selection: take_along_axis would lower to elementwise
+    # gathers (~1.5 ms each at K=12, N=4096 on v5e); a (K,G,N) one-hot
+    # contracted over G turns every gather AND scatter below into a dense
+    # VPU/MXU contraction (G=78: ~50 MFLOP, sub-0.1 ms total)
+    csel = (cidxT[:, None, :] ==
+            jnp.arange(Gg, dtype=cidx.dtype)[None, :, None]).astype(jnp.float32)
+    geom_ch = [gpos, gvel, lam_geom]                      # each (G,3,N)
     if patch_data is not None:
-        dx_c = take(dx_g)
-        dy_c = take(dy_g)
+        geom_ch.append(jnp.stack([dx_g, dy_g], axis=1))   # (G,2,N)
+    cdata = jnp.einsum("kgn,gcn->kcn", csel,
+                       jnp.concatenate(geom_ch, axis=1))  # (K,C,N)
+    cpos = cdata[:, 0:3]                                  # (K,3,N)
+    cvel = cdata[:, 3:6]
+    lam0 = cdata[:, 6:9]
+    cgap = neg_gap.T                                      # (K,N)
+    anc_g = jnp.asarray(layout.anc_mask, jnp.float32)[
+        jnp.asarray(model.geom_body)]                     # (G,12) static
+    geom2body = jax.nn.one_hot(jnp.asarray(model.geom_body), model.nb,
+                               dtype=jnp.float32)         # (G,nb) static
+    if patch_data is not None:
+        dx_c = cdata[:, 9]
+        dy_c = cdata[:, 10]
         n = jnp.stack([-dx_c, -dy_c, jnp.ones_like(dx_c)], axis=1)  # (K,3,N)
         n = n / tm.norm(n)[..., None, :]
     else:
@@ -386,9 +400,7 @@ def _substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     # into the base frame to match H's coordinates.
     r_c = cpos - s.pos[None]                              # (K,3,N)
     # columns for the 12 joints, masked by ancestry
-    anc = jnp.asarray(layout.anc_mask, jnp.float32)       # (13,12)
-    amask = anc[cbody]                                    # (K,N,12)
-    amask = jnp.moveaxis(amask, -1, 1)                    # (K,12,N)
+    amask = jnp.einsum("kgn,gj->kjn", csel, anc_g)        # (K,12,N)
     arm_j = cpos[:, None, :, :] - jpos[None, :, :, :]     # (K,12,3,N)
     col_j = tm.cross(jnp.broadcast_to(axis_w[None], arm_j.shape), arm_j)
     col_j = col_j * amask[:, :, None, :]                  # (K,12,3,N)
@@ -455,13 +467,11 @@ def _substep(model: RobotModel, layout: QuadLayout, params: SimParams,
         lam_t = lam_t * scale * active[:, None, :]
         return jnp.concatenate([lam_n[:, None, :], lam_t], axis=1)
 
-    lam0 = jnp.take_along_axis(lam_geom, cidxT[:, None, :], axis=0)
     lam0 = lam0 * active[:, None, :]
     lam = jax.lax.fori_loop(0, params.solver_iters, solver_body, lam0)
-    G = lam_geom.shape[0]
-    lam_geom_new = jnp.zeros((G, 3, N)).at[
-        cidxT[:, None, :], jnp.arange(3)[None, :, None],
-        jnp.arange(N)[None, None, :]].set(lam)
+    # scatter back by geom via the one-hot (top_k indices are distinct, so
+    # the summed contraction equals a scatter-set)
+    lam_geom_new = jnp.einsum("kgn,kcn->gcn", csel, lam)
 
     u_new = u_free + jnp.sum(Bmat * lam[:, :, None, :], axis=(0, 1))
 
@@ -481,10 +491,8 @@ def _substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     # diagnostics in T layout
     frame = jnp.stack([n, t1, t2], axis=1)                # (K,3f,3c,N)
     f_contact = jnp.sum(frame * lam[:, :, None, :], axis=1) / dt   # (K,3,N)
-    body_forces = jnp.zeros((model.nb, 3, N))
-    body_forces = body_forces.at[cbody[:, None, :],
-                                 jnp.arange(3)[None, :, None],
-                                 jnp.arange(N)[None, None, :]].add(f_contact)
+    bweight = jnp.einsum("kgn,gb->kbn", csel, geom2body)  # (K,nb,N)
+    body_forces = jnp.einsum("kbn,kcn->bcn", bweight, f_contact)
     foot_idx = jnp.asarray(model.foot_geom_idx)           # (4,)
     is_foot = (cidxT[None] == foot_idx[:, None, None]).astype(jnp.float32)
     # (4,K,N)
@@ -508,12 +516,6 @@ def make_physics_step(model: RobotModel, params: SimParams,
     """
     layout = quad_layout(model)
     effort = jnp.asarray(model.dof_effort_limit, jnp.float32)[:, None]
-    import os as _os
-    # pallas DMA extraction is opt-in: the mosaic kernel hung the remote
-    # compile through the axon relay; the scan-of-dynamic-slices XLA path
-    # compiles everywhere and is nearly as fast
-    use_pallas = (_os.environ.get("GO2_PALLAS") == "1"
-                  and jax.default_backend() == "tpu")
 
     def step(dyn: DynParams, state: SimState, targets, kp, kd,
              motor_strength, motor_offset):
@@ -535,15 +537,15 @@ def make_physics_step(model: RobotModel, params: SimParams,
         if terrain.channels is not None and not terrain.is_flat:
             from go2_rl_gym_tpu.ops import terrain_patches as tp
             scale = terrain.horizontal_scale
-            R_, C_ = terrain.channels.shape[:2]
+            # channels is (3, C, R) — x minor (ops/terrain_patches.py)
+            C_, R_ = terrain.channels.shape[1:3]
             bix = ((state.base_pos[:, 0] + terrain.border_offset)
                    / scale).astype(jnp.int32)
             biy = ((state.base_pos[:, 1] + terrain.border_offset)
                    / scale).astype(jnp.int32)
             origins = tp.compute_origins(bix, biy, R_, C_)
-            patches = tp.extract_patches(terrain.channels, origins,
-                                         use_pallas=use_pallas)
-            patch_data = (patches.reshape(N, tp.PATCH * tp.PATCH, 3), origins)
+            patches = tp.extract_patches(terrain.channels, origins)
+            patch_data = (patches, origins)
 
         def body(carry, tgt):
             s, lam_geom = carry
