@@ -128,7 +128,7 @@ class CTS:
             params1=p1, params2=p2,
             opt1_state=self.optimizer1.init(p1),
             opt2_state=self.optimizer2.init(p2),
-            lr=jnp.asarray(self.cfg.learning_rate))
+            lr=jnp.asarray(self.cfg.learning_rate, dtype=jnp.float32))
 
     # ------------------------------------------------------------------
     # Rollout side

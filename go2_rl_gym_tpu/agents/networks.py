@@ -227,7 +227,11 @@ class ActorCritic(nn.Module):
         self.actor = MLP(list(self.actor_hidden_dims) + [self.num_actions],
                          self.activation)
         self.critic = MLP(list(self.critic_hidden_dims) + [1], self.activation)
-        self.std = self.param("std", lambda k, s: jnp.full(s, self.init_noise_std),
+        # dtype MUST be explicit: a weak-typed f32 leaf changes abstract
+        # signature after one optimizer step and forces a jit recompile.
+        self.std = self.param("std",
+                              lambda k, s: jnp.full(s, self.init_noise_std,
+                                                    dtype=jnp.float32),
                               (self.num_actions,))
 
     def __call__(self, obs, critic_obs):
@@ -312,8 +316,11 @@ class CTSFamily(nn.Module):
             self.critic = MLP(list(self.critic_hidden_dims) + [1], self.activation)
 
         if fam != "mcp_cts":
+            # explicit dtype: weak-typed leaves recompile after the first
+            # optimizer step (signature ~float32 -> float32)
             self.std = self.param("std",
-                                  lambda k, s: jnp.full(s, self.init_noise_std),
+                                  lambda k, s: jnp.full(s, self.init_noise_std,
+                                                        dtype=jnp.float32),
                                   (self.num_actions,))
 
     # -- init path --------------------------------------------------------
@@ -381,6 +388,10 @@ class CTSFamily(nn.Module):
 def make_cts_model(family: str, num_obs: int, num_critic_obs: int,
                    num_actions: int, policy_cfg, history_length: int = 5):
     """Factory from a PolicyCfg (env/config.py)."""
+    if family in ("moe_ng_cts", "mcp_cts") and policy_cfg.obs_no_goal_mask is None:
+        # without the mask the goal-stripped expert input is zero-width and
+        # the latent silently NaNs (fan_in 0) — fail loudly instead
+        raise ValueError(f"{family} requires policy_cfg.obs_no_goal_mask")
     kwargs = dict(
         family=family,
         num_obs=num_obs,

@@ -60,7 +60,7 @@ class PPO:
                                  jnp.zeros((1, self.num_critic_obs)))
         opt_state = self.optimizer.init(params)
         return PPOTrainState(params=params, opt_state=opt_state,
-                             lr=jnp.asarray(self.cfg.learning_rate))
+                             lr=jnp.asarray(self.cfg.learning_rate, dtype=jnp.float32))
 
     # -- rollout-side ------------------------------------------------------
 

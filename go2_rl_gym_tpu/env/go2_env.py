@@ -125,7 +125,10 @@ class Go2Env:
                 self.grid.heights_m, self.grid.horizontal_scale,
                 self.grid.border_size)
             self.terrain_origins = jnp.asarray(self.grid.env_origins, jnp.float32)
-            self.cols2id = np.asarray(self.grid.cols2id)
+            # empty in randomized mode -> per-terrain caps/ids disabled
+            # (reference legged_robot.py:863-870, 1074-1075)
+            self.cols2id = (np.asarray(self.grid.cols2id)
+                            if len(self.grid.cols2id) else None)
             self.custom_origins = True
             self.terrain_type_names = {
                 name: cols for name, cols in self.grid.name2cols.items()}
@@ -287,7 +290,7 @@ class Go2Env:
     def _env_command_ranges(self, ranges, terrain_ids):
         """Per-env ranges = global ranges clipped by per-terrain-type caps
         (legged_robot.py:861-907). Returns (N,4,2)."""
-        if self.grid is None:
+        if self.grid is None or self.cols2id is None:
             return jnp.broadcast_to(ranges, (self.num_envs, 4, 2))
         caps = self.terrain_cmd_caps[terrain_ids]       # (N,4,2)
         lo = jnp.maximum(caps[..., 0], ranges[None, :, 0])
@@ -639,7 +642,9 @@ class Go2Env:
             types = jnp.asarray(
                 (np.arange(N) / (N / self.cfg.terrain.num_cols)).astype(np.int64),
                 jnp.int32)
-            terrain_ids = jnp.asarray(self.cols2id)[types]
+            terrain_ids = (jnp.asarray(self.cols2id)[types]
+                           if self.cols2id is not None
+                           else jnp.zeros(N, jnp.int32))
             origins = self.terrain_origins[levels, types]
         else:
             levels = jnp.zeros(N, jnp.int32)
@@ -1022,7 +1027,8 @@ class Go2Env:
         levels, types, origins = self._update_terrain_curriculum(
             state, done, keys[2])
         terrain_ids = (jnp.asarray(self.cols2id)[types]
-                       if self.grid is not None else state.terrain_ids)
+                       if self.grid is not None and self.cols2id is not None
+                       else state.terrain_ids)
 
         # dof + root reset
         q0 = self._sample_dofs(keys[3])

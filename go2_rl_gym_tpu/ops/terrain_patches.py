@@ -8,9 +8,10 @@ at ~20 ns/element on v5e (19.4 ms for one 78-point min-of-3 query set at
 4096 envs).
 
 Replacement (reference semantics: legged_robot.py:1218-1222 min-of-3):
-1. At terrain build, precompute a channel-major (3, R, C) grid
-   [hmin, dx, dy] where hmin is the reference's min-of-3 height and dx/dy
-   are forward-difference slopes (surface normal = normalize(-dx, -dy, 1)).
+1. At terrain build, precompute a channel-major (3, C, R) grid (x minor,
+   see build_channels) [hmin, dx, dy] where hmin is the reference's min-of-3
+   height and dx/dy are forward-difference slopes
+   (surface normal = normalize(-dx, -dy, 1)).
    Channel-major matters: a trailing dim of 3 would be padded to the 128
    TPU lanes (40x HBM blowup) and blocks DMA/layout optimizations.
 2. Once per policy step, slice a (3, PATCH, PATCH) window around each env's
@@ -86,5 +87,8 @@ def lookup(patches: jax.Array, origins: jax.Array, ix: jax.Array,
     lin = ly * PATCH + lx                  # patches are (y, x) windows
 
     onehot = jax.nn.one_hot(lin, PATCH * PATCH, dtype=jnp.float32)
-    vals = jnp.einsum("npc,nkc->nkp", onehot, patches)       # (N, 3, P)
+    # HIGHEST: default TPU matmul truncates the height data to bf16 (mm-cm
+    # error vs the 1e-4 m contact-gap threshold); the one-hot is exact
+    vals = jnp.einsum("npc,nkc->nkp", onehot, patches,
+                      precision=jax.lax.Precision.HIGHEST)   # (N, 3, P)
     return vals[:, 0], vals[:, 1], vals[:, 2]

@@ -367,8 +367,12 @@ def _substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     geom_ch = [gpos, gvel, lam_geom]                      # each (G,3,N)
     if patch_data is not None:
         geom_ch.append(jnp.stack([dx_g, dy_g], axis=1))   # (G,2,N)
+    # HIGHEST precision: default TPU matmul truncates f32 operands to bf16,
+    # corrupting world coords (~0.25 m at 100 m) — the one-hot operand is
+    # exact, so HIGHEST makes the selection bit-exact at negligible cost
     cdata = jnp.einsum("kgn,gcn->kcn", csel,
-                       jnp.concatenate(geom_ch, axis=1))  # (K,C,N)
+                       jnp.concatenate(geom_ch, axis=1),
+                       precision=jax.lax.Precision.HIGHEST)  # (K,C,N)
     cpos = cdata[:, 0:3]                                  # (K,3,N)
     cvel = cdata[:, 3:6]
     lam0 = cdata[:, 6:9]
@@ -471,7 +475,8 @@ def _substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     lam = jax.lax.fori_loop(0, params.solver_iters, solver_body, lam0)
     # scatter back by geom via the one-hot (top_k indices are distinct, so
     # the summed contraction equals a scatter-set)
-    lam_geom_new = jnp.einsum("kgn,kcn->gcn", csel, lam)
+    lam_geom_new = jnp.einsum("kgn,kcn->gcn", csel, lam,
+                              precision=jax.lax.Precision.HIGHEST)
 
     u_new = u_free + jnp.sum(Bmat * lam[:, :, None, :], axis=(0, 1))
 
@@ -492,7 +497,8 @@ def _substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     frame = jnp.stack([n, t1, t2], axis=1)                # (K,3f,3c,N)
     f_contact = jnp.sum(frame * lam[:, :, None, :], axis=1) / dt   # (K,3,N)
     bweight = jnp.einsum("kgn,gb->kbn", csel, geom2body)  # (K,nb,N)
-    body_forces = jnp.einsum("kbn,kcn->bcn", bweight, f_contact)
+    body_forces = jnp.einsum("kbn,kcn->bcn", bweight, f_contact,
+                             precision=jax.lax.Precision.HIGHEST)
     foot_idx = jnp.asarray(model.foot_geom_idx)           # (4,)
     is_foot = (cidxT[None] == foot_idx[:, None, None]).astype(jnp.float32)
     # (4,K,N)

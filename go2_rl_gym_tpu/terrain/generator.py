@@ -278,7 +278,9 @@ def build_terrain(cfg, seed: int = 0) -> TerrainGrid:
     field = np.zeros((tot_rows, tot_cols), dtype=np.int16)
     origins = np.zeros((cfg.num_rows, cfg.num_cols, 3))
     name2cols = defaultdict(list)
-    cols2id = np.zeros(cfg.num_cols, dtype=np.int32)
+    # empty in randomized mode (reference terrain.py:34, 51-59: cols2id=[])
+    cols2id = (np.zeros(cfg.num_cols, dtype=np.int32) if cfg.curriculum
+               else np.zeros(0, dtype=np.int32))
 
     for j in range(cfg.num_cols):
         for i in range(cfg.num_rows):
@@ -305,8 +307,16 @@ def build_terrain(cfg, seed: int = 0) -> TerrainGrid:
             y2 = int((cfg.terrain_width / 2.0 + 1) / hs)
             oz = np.max(patch[x1:x2, y1:y2]) * vs
             origins[i, j] = [ox, oy, oz]
-        name2cols[name].append(j)
-        cols2id[j] = tid
+        if cfg.curriculum:
+            # curriculum: `choice` depends only on the column, so the
+            # column-level maps are well defined (reference terrain.py:61-70
+            # records them from the inner loop's last terrain). In randomized
+            # mode the reference leaves BOTH empty (terrain.py:51-59) — each
+            # cell has its own type, so per-column ids would be mislabeled —
+            # and downstream per-terrain caps/logging are disabled
+            # (legged_robot.py:863-870, 1074-1075).
+            name2cols[name].append(j)
+            cols2id[j] = tid
 
     return TerrainGrid(
         height_field=field,

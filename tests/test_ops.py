@@ -1,34 +1,63 @@
-"""Pallas heightfield-patch kernel vs plain gather (interpret mode on CPU)."""
+"""Patch-based terrain pipeline: extract_patches + lookup vs a plain gather
+over the full grid (reference min-of-3 semantics, legged_robot.py:1218-1222)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
-from go2_rl_gym_tpu.ops import heightfield as hfop
-
-pytestmark = pytest.mark.skipif(not hfop.HAS_PALLAS, reason="no pallas")
+from go2_rl_gym_tpu.ops import terrain_patches as tp
 
 
-def test_patch_lookup_matches_gather():
-    key = jax.random.PRNGKey(0)
-    grid = jax.random.normal(key, (200, 300))
-    N, P = 16, 78
-    base_ix = jax.random.randint(jax.random.PRNGKey(1), (N,), 40, 160)
-    base_iy = jax.random.randint(jax.random.PRNGKey(2), (N,), 40, 260)
-    ix = base_ix[:, None] + jax.random.randint(jax.random.PRNGKey(3), (N, P), -10, 10)
-    iy = base_iy[:, None] + jax.random.randint(jax.random.PRNGKey(4), (N, P), -10, 10)
-    out = hfop.patch_lookup(grid, ix, iy, base_ix, base_iy, interpret=True)
-    want = jnp.minimum(jnp.minimum(grid[ix, iy], grid[ix + 1, iy]),
-                       grid[ix, iy + 1])
-    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6)
+def _setup(seed=0, N=16, R=128, C=96):
+    rng = np.random.default_rng(seed)
+    h = rng.normal(size=(R, C)).astype(np.float32) * 0.1
+    channels = tp.build_channels(h, horizontal_scale=0.05)   # (3, C, R)
+    assert channels.shape == (3, C, R)
+    base_ix = rng.integers(0, R, size=N).astype(np.int32)
+    base_iy = rng.integers(0, C, size=N).astype(np.int32)
+    origins = tp.compute_origins(jnp.asarray(base_ix), jnp.asarray(base_iy),
+                                 R, C)
+    patches = tp.extract_patches(jnp.asarray(channels), origins)
+    return h, channels, origins, patches, (R, C), rng
 
 
-def test_patch_lookup_clamps_out_of_patch():
-    """Points outside the patch window are clamped, not OOB-read."""
-    grid = jnp.zeros((100, 100))
-    N, P = 2, 4
-    base = jnp.array([50, 50])
-    ix = jnp.array([[0, 99, 50, 50], [50, 50, 0, 99]])
-    iy = jnp.array([[50, 50, 0, 99], [0, 99, 50, 50]])
-    out = hfop.patch_lookup(grid, ix, iy, base, base, interpret=True)
-    assert bool(jnp.isfinite(out).all())
+def test_lookup_matches_global_gather():
+    h, channels, origins, patches, (R, C), rng = _setup()
+    N = origins.shape[0]
+    P = 7
+    # queries inside each env's patch window
+    lx = rng.integers(0, tp.PATCH, size=(N, P))
+    ly = rng.integers(0, tp.PATCH, size=(N, P))
+    ix = np.asarray(origins)[:, 0:1] + lx
+    iy = np.asarray(origins)[:, 1:2] + ly
+    hmin, dx, dy = jax.jit(tp.lookup)(patches, origins,
+                                      jnp.asarray(ix), jnp.asarray(iy))
+    ref = np.asarray(channels)[:, iy, ix]                    # (3, N, P)
+    np.testing.assert_allclose(np.asarray(hmin), ref[0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dx), ref[1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dy), ref[2], atol=1e-6)
+
+
+def test_lookup_clamps_out_of_patch():
+    _, channels, origins, patches, (R, C), _ = _setup()
+    N = origins.shape[0]
+    # queries far outside the window clamp to the window edge (no NaN/garbage)
+    ix = jnp.full((N, 2), 10_000, jnp.int32)
+    iy = jnp.full((N, 2), -10_000, jnp.int32)
+    hmin, _, _ = tp.lookup(patches, origins, ix, iy)
+    edge_x = np.asarray(origins)[:, 0] + tp.PATCH - 1
+    edge_y = np.asarray(origins)[:, 1]
+    ref = np.asarray(channels)[0, edge_y, edge_x]
+    np.testing.assert_allclose(np.asarray(hmin[:, 0]), ref, atol=1e-6)
+
+
+def test_build_channels_min_of_three():
+    h = np.arange(12, dtype=np.float32).reshape(3, 4)
+    ch = tp.build_channels(h, 0.1)                           # (3, C=4, R=3)
+    # hmin at (x=0, y=0): min(h[0,0], h[1,0], h[0,1]) = min(0, 4, 1) = 0
+    assert ch[0, 0, 0] == 0.0
+    # interior slopes: dx = (h[x+1,y]-h[x,y])/scale = 4/0.1, dy = 1/0.1
+    np.testing.assert_allclose(ch[1, 0, 0], 40.0)
+    np.testing.assert_allclose(ch[2, 0, 0], 10.0)
+    # border rows replicate (forward difference clamped)
+    np.testing.assert_allclose(ch[1, :, -1], 0.0)
+    np.testing.assert_allclose(ch[2, -1, :], 0.0)

@@ -68,6 +68,24 @@ def test_learn_loop_smoke(tmp_path):
     assert any(d.startswith("model_") for d in os.listdir(str(tmp_path)))
 
 
+@pytest.mark.parametrize("make_cfg", [go2_ppo_train_cfg, go2_cts_train_cfg])
+def test_train_step_cache_stable(make_cfg):
+    """Two chained train steps must NOT retrace: a weak-typed leaf (e.g. the
+    std param, or the adaptive lr scalar) changes its abstract signature after
+    one optimizer step and silently doubles compile cost (VERDICT r2 weak#1)."""
+    tc = make_cfg()
+    tc.runner.num_steps_per_env = 4
+    env = tiny_env()
+    runner = OnPolicyRunner(env, tc, log_dir=None)
+    rs = runner.init_runner_state(jax.random.PRNGKey(0))
+    rs, _ = runner._train_step(rs)
+    rs, _ = runner._train_step(rs)
+    jax.block_until_ready(rs.train_state)
+    assert runner._train_step._cache_size() == 1, (
+        "fused train step recompiled between chained calls — a RunnerState "
+        "leaf changed dtype/weak_type after the first optimizer step")
+
+
 def test_cts_minibatch_teacher_first_layout():
     """After pre-permute, every minibatch slot must contain exactly tmb
     teacher samples then smb student samples (the invariant the update's

@@ -107,6 +107,39 @@ def test_random_uniform_bounds():
     assert hf.std() > 0
 
 
+def test_randomized_mode_maps_empty():
+    """Reference semantics (terrain.py:34, 51-70): column-level type maps are
+    only well defined under curriculum (type is a function of the column);
+    in randomized mode each CELL draws its own type, so name2cols/cols2id
+    must stay EMPTY and downstream per-terrain caps/logging disable
+    (legged_robot.py:863-870, 1074-1075) — not silently mislabel columns
+    with the last row's draw."""
+    cfg = TCfg()
+    cfg.curriculum = False
+    g = generator.build_terrain(cfg, seed=0)
+    assert g.name2cols == {}
+    assert g.cols2id.shape == (0,)
+
+
+def test_randomized_mode_env_uncapped():
+    """With empty cols2id the env applies NO per-terrain command caps."""
+    import jax.numpy as jnp
+    from go2_rl_gym_tpu.env.config import Go2Cfg
+    from go2_rl_gym_tpu.env.go2_env import Go2Env
+    cfg = Go2Cfg()
+    cfg.env.num_envs = 4
+    cfg.terrain.curriculum = False
+    cfg.terrain.num_rows = 2
+    cfg.terrain.num_cols = 2
+    env = Go2Env(cfg, num_steps_per_env=4)
+    assert env.cols2id is None
+    assert env.terrain_type_names == {}
+    ranges = jnp.asarray([[-1.0, 1.0]] * 4)
+    out = env._env_command_ranges(ranges, jnp.zeros(4, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.broadcast_to(np.asarray(ranges), (4, 4, 2)))
+
+
 def test_reproducible():
     g1 = generator.build_terrain(TCfg(), seed=7)
     g2 = generator.build_terrain(TCfg(), seed=7)

@@ -1,7 +1,11 @@
-"""Micro-benchmark of patch-extraction strategies on the real TPU.
+"""Micro-benchmark of the patch-based terrain pipeline on the real TPU.
 
-Compares: pallas DMA kernel, scan-of-dynamic-slices, tiled row-gather.
-Run with timeout in case mosaic hangs the relay compile.
+Times the two surviving ops from go2_rl_gym_tpu/ops/terrain_patches.py at
+production shapes: extract_patches (N windowed slices of the (3, C, R) grid,
+once per policy step) and lookup (in-patch one-hot contraction, the
+per-substep hot path).
+
+Run under `timeout`; usage: python tools/bench_patches.py [extract|lookup|all]
 """
 import os
 import sys
@@ -17,6 +21,8 @@ from go2_rl_gym_tpu.ops import terrain_patches as tp
 
 N = 4096
 R, C = 2120, 2120  # ~full rough terrain grid (10x20 subterrains of 8m @0.05)
+P_CONTACT = 78     # geoms per env (contact narrow-phase)
+P_SCAN = 187       # observation height-scan points
 
 
 def timeit(fn, *args, iters=20):
@@ -30,49 +36,27 @@ def timeit(fn, *args, iters=20):
 
 
 def main():
-    key = jax.random.PRNGKey(0)
-    channels = jax.random.normal(key, (R, C, 3), jnp.float32)
-    ox = jax.random.randint(key, (N,), 0, R - tp.PATCH)
-    oy = jax.random.randint(jax.random.PRNGKey(1), (N,), 0, C - tp.PATCH)
-    origins = jnp.stack([ox, oy], axis=1)
+    rng = np.random.default_rng(0)
+    h = rng.normal(size=(R, C)).astype(np.float32) * 0.1
+    channels = jnp.asarray(tp.build_channels(h, 0.05))      # (3, C, R)
+    base_ix = jnp.asarray(rng.integers(0, R, size=N), jnp.int32)
+    base_iy = jnp.asarray(rng.integers(0, C, size=N), jnp.int32)
+    origins = tp.compute_origins(base_ix, base_iy, R, C)
 
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
 
-    if which in ("all", "xla"):
-        f = jax.jit(tp.extract_patches_xla)
-        print(f"xla scan:   {timeit(f, channels, origins):8.3f} ms")
-    if which in ("all", "pallas"):
-        f = jax.jit(tp.extract_patches_pallas)
-        print(f"pallas dma: {timeit(f, channels, origins):8.3f} ms")
-    if which in ("all", "gather"):
-        # tiled row-gather: quantize origins to stride-16, gather 48x48 tiles
-        STRIDE, TILE = 16, 48
-        Rq = (R - TILE) // STRIDE + 1
-        Cq = (C - TILE) // STRIDE + 1
+    if which in ("all", "extract"):
+        f = jax.jit(tp.extract_patches)
+        print(f"extract_patches (N={N}):      {timeit(f, channels, origins):8.3f} ms")
 
-        def build_tiles(ch):
-            # (Rq, Cq, TILE, TILE, 3) precomputed once at terrain build
-            i = np.arange(Rq) * STRIDE
-            j = np.arange(Cq) * STRIDE
-            return None  # host-side; here just index on device
-
-        # device-side tile table
-        ii = (jnp.arange(Rq) * STRIDE)[:, None] + jnp.arange(TILE)[None, :]
-        jj = (jnp.arange(Cq) * STRIDE)[:, None] + jnp.arange(TILE)[None, :]
-        tiles = channels[ii][:, :, jj]          # (Rq, TILE, Cq, TILE, 3)
-        tiles = jnp.moveaxis(tiles, 1, 2)       # (Rq, Cq, TILE, TILE, 3)
-        tiles_flat = tiles.reshape(Rq * Cq, TILE * TILE * 3)
-        jax.block_until_ready(tiles_flat)
-        print(f"tile table: {tiles_flat.nbytes/1e6:.0f} MB")
-
-        def gather(tiles_flat, origins):
-            ti = jnp.clip(origins[:, 0] // STRIDE, 0, Rq - 1)
-            tj = jnp.clip(origins[:, 1] // STRIDE, 0, Cq - 1)
-            out = jnp.take(tiles_flat, ti * Cq + tj, axis=0)
-            return out.reshape(N, TILE, TILE, 3)
-
-        f = jax.jit(gather)
-        print(f"row gather: {timeit(f, tiles_flat, origins):8.3f} ms")
+    if which in ("all", "lookup"):
+        patches = jax.jit(tp.extract_patches)(channels, origins)
+        for P in (P_CONTACT, P_SCAN):
+            ix = jnp.asarray(rng.integers(0, R, size=(N, P)), jnp.int32)
+            iy = jnp.asarray(rng.integers(0, C, size=(N, P)), jnp.int32)
+            f = jax.jit(tp.lookup)
+            ms = timeit(f, patches, origins, ix, iy)
+            print(f"lookup (N={N}, P={P:4d}):       {ms:8.3f} ms")
 
 
 if __name__ == "__main__":
