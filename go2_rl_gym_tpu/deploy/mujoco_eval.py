@@ -33,7 +33,8 @@ GO2_SCENES = {
 
 _SCENE_ROOTS = (
     os.environ.get("GO2_SCENE_ROOT", ""),
-    "/root/reference/resources/robots/go2",
+    os.path.join(os.path.dirname(__file__), "..", "..", "resources",
+                 "robots", "go2"),
 )
 
 DEFAULT_ANGLES = np.array([0.1, 0.8, -1.5, -0.1, 0.8, -1.5,

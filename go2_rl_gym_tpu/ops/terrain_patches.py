@@ -29,6 +29,8 @@ C) with a flat (N, 3*PATCH*PATCH) row per env keeps every write contiguous.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,8 +38,23 @@ import numpy as np
 PATCH = 32
 
 
+_LANE = 128     # TPU lane count: minor-dim DMA offsets must be 128-aligned
+_SUB = 8        # f32 sublane tiling: dim-1 DMA offsets must be 8-aligned
+_WIN_X = 2 * _LANE       # aligned DMA window (covers any 32-window whose
+_WIN_Y = PATCH + _SUB    # clamped aligned start precedes it; see kernel)
+
+
+def _pad_to(n, m):
+    return ((n + m - 1) // m) * m
+
+
 def build_channels(height_m: np.ndarray, horizontal_scale: float) -> np.ndarray:
-    """(R, C) heights -> channel-major (3, R, C) [hmin, dx, dy] grid."""
+    """(R, C) heights -> channel-major (3, C', R') [hmin, dx, dy] grid.
+
+    C' is padded to a multiple of 8 (and >= _WIN_Y), R' to a multiple of 128
+    (>= _WIN_X), edge-replicated, so the Pallas extraction can always DMA a
+    tile-ALIGNED (_WIN_Y, _WIN_X) window (Mosaic requires sublane/lane-
+    divisible HBM memref slices) that contains the exact PATCH window."""
     h = np.asarray(height_m, np.float32)
     hx = np.roll(h, -1, axis=0)
     hx[-1] = h[-1]
@@ -48,8 +65,18 @@ def build_channels(height_m: np.ndarray, horizontal_scale: float) -> np.ndarray:
     dy = (hy - h) / horizontal_scale
     # (3, C, R): x (rows of the heightfield) minor — matches the layout XLA
     # picks for the fast windowed-slice lowering, so no in-context relayout
-    return np.ascontiguousarray(np.stack([hmin, dx, dy], axis=0)
-                                .transpose(0, 2, 1))
+    ch = np.ascontiguousarray(np.stack([hmin, dx, dy], axis=0)
+                              .transpose(0, 2, 1))
+    C, R = ch.shape[1:]
+    Cp = _pad_to(max(C, _WIN_Y), _SUB)
+    Rp = _pad_to(max(R, _WIN_X), _LANE)
+    if (Cp, Rp) == (C, R):
+        return ch
+    out = np.zeros((3, Cp, Rp), np.float32)
+    out[:, :C, :R] = ch
+    out[:, C:, :R] = ch[:, -1:, :]          # edge-replicate
+    out[:, :, R:] = out[:, :, R - 1:R]
+    return out
 
 
 def compute_origins(base_ix, base_iy, R, C):
@@ -59,14 +86,12 @@ def compute_origins(base_ix, base_iy, R, C):
     return jnp.stack([ox, oy], axis=1)
 
 
-def extract_patches(channels: jax.Array, origins: jax.Array) -> jax.Array:
-    """(3, R, C), (N, 2) -> (N, 3, PATCH*PATCH) patch windows.
-
-    vmap(dynamic_slice) lowers to ONE HLO gather with slice_sizes
-    (3, PATCH, PATCH): N big contiguous-row window copies, measured at HBM
-    bandwidth (0.018 ms at N=4096) on v5e. (A lax.scan of the same slices
-    also microbenchmarks fine but resists fusion-boundary rewrites in a
-    larger program — the round-1 build lost 11 ms/step to exactly that.)"""
+def extract_patches_xla(channels: jax.Array, origins: jax.Array) -> jax.Array:
+    """XLA fallback: vmap(dynamic_slice). CAUTION: in-context on TPU, XLA
+    lowers this to a serialized while-loop of dynamic-update-slices — profiled
+    at 8.6 ms/step at N=4096 (43% of the whole physics step). The Pallas DMA
+    kernel below is the production path; this remains for CPU tests and as a
+    GO2_NO_PALLAS=1 escape hatch."""
     N = origins.shape[0]
 
     def one(o):
@@ -74,6 +99,118 @@ def extract_patches(channels: jax.Array, origins: jax.Array) -> jax.Array:
         return jax.lax.dynamic_slice(channels, (0, o[1], o[0]),
                                      (3, PATCH, PATCH))
     return jax.vmap(one)(origins).reshape(N, 3, PATCH * PATCH)
+
+
+_ENVS_PER_PROGRAM = 32
+
+
+def _extract_kernel(ox_ref, oy_ref, ch_ref, out_ref, scratch, sems):
+    """One program copies _ENVS_PER_PROGRAM patch windows HBM -> VMEM.
+
+    Mosaic only allows tile-ALIGNED dynamic slices of HBM memrefs (sublane
+    offsets % 8, lane offsets % 128), so each env DMAs an aligned
+    (3, _WIN_Y, _WIN_X) superset window into scratch, then compacts to the
+    exact (3, PATCH, PATCH) with a dynamic sublane slice + lane roll. All B
+    copies are started before any wait so the DMA engine pipelines them."""
+    import jax.experimental.pallas as pl  # noqa: PLC0415
+    from jax.experimental.pallas import tpu as pltpu  # noqa: PLC0415
+
+    b = pl.program_id(0)
+    B = out_ref.shape[0]
+    Cp = ch_ref.shape[1]
+    Rp = ch_ref.shape[2]
+
+    def aligned(i):
+        n = b * B + i
+        oy8 = jnp.minimum((oy_ref[n] // _SUB) * _SUB, Cp - _WIN_Y)
+        ox128 = jnp.minimum((ox_ref[n] // _LANE) * _LANE, Rp - _WIN_X)
+        # Cp - _WIN_Y and Rp - _WIN_X are themselves aligned (build_channels
+        # pads), so min() preserves divisibility — assert it to Mosaic:
+        return pl.multiple_of(oy8, _SUB), pl.multiple_of(ox128, _LANE)
+
+    def dma(i):
+        oy8, ox128 = aligned(i)
+        return pltpu.make_async_copy(
+            ch_ref.at[:, pl.ds(oy8, _WIN_Y), pl.ds(ox128, _WIN_X)],
+            scratch.at[i], sems.at[i])
+
+    for i in range(B):
+        dma(i).start()
+    for i in range(B):
+        dma(i).wait()
+        n = b * B + i
+        oy8, ox128 = aligned(i)
+        dy = oy_ref[n] - oy8                 # in [0, _SUB]
+        dx = ox_ref[n] - ox128               # in [0, _WIN_X - PATCH]
+        # dynamic VMEM slices must also be tile-aligned — compact with
+        # modular rolls (tpu.dynamic_rotate) + static slices instead
+        win = scratch[i]                                  # (3, _WIN_Y, _WIN_X)
+        win = pltpu.roll(win, _WIN_Y - dy, axis=1)
+        win = pltpu.roll(win, _WIN_X - dx, axis=2)
+        out_ref[i] = win[:, :PATCH, :PATCH]
+
+
+def extract_patches_pallas(channels: jax.Array, origins: jax.Array,
+                           interpret: bool = False) -> jax.Array:
+    """(3, C', R'), (N, 2) -> (N, 3, PATCH, PATCH) via per-env DMA windows.
+
+    Each env's patch is ONE strided DMA descriptor (3 x _WIN_Y rows of
+    _WIN_X*4 contiguous bytes) issued straight from scalar-prefetched
+    origins — no gather HLO, no serialized while-loop (the XLA lowering of
+    vmap(dynamic_slice) profiled at 8.6 ms/step at N=4096; see
+    extract_patches_xla)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = origins.shape[0]
+    B = _ENVS_PER_PROGRAM
+    n_pad = (-N) % B
+    ox = origins[:, 0].astype(jnp.int32)
+    oy = origins[:, 1].astype(jnp.int32)
+    if n_pad:
+        ox = jnp.concatenate([ox, jnp.zeros((n_pad,), jnp.int32)])
+        oy = jnp.concatenate([oy, jnp.zeros((n_pad,), jnp.int32)])
+
+    out = pl.pallas_call(
+        _extract_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=((N + n_pad) // B,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (B, 3, PATCH, PATCH), lambda b, ox, oy: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((B, 3, _WIN_Y, _WIN_X), channels.dtype),
+                pltpu.SemaphoreType.DMA((B,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((N + n_pad, 3, PATCH, PATCH),
+                                       channels.dtype),
+        interpret=interpret,
+    )(ox, oy, channels)
+    return out[:N]
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("GO2_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def extract_patches(channels: jax.Array, origins: jax.Array) -> jax.Array:
+    """(3, C, R), (N, 2) -> (N, 3, PATCH*PATCH) patch windows.
+
+    Pallas DMA path on accelerators (profiled 8.6 ms -> sub-ms at N=4096 on
+    v5e); XLA vmap(dynamic_slice) on CPU / with GO2_NO_PALLAS=1."""
+    N = origins.shape[0]
+    if _use_pallas():
+        return extract_patches_pallas(channels, origins).reshape(
+            N, 3, PATCH * PATCH)
+    return extract_patches_xla(channels, origins)
 
 
 def lookup(patches: jax.Array, origins: jax.Array, ix: jax.Array,
@@ -87,8 +224,12 @@ def lookup(patches: jax.Array, origins: jax.Array, ix: jax.Array,
     lin = ly * PATCH + lx                  # patches are (y, x) windows
 
     onehot = jax.nn.one_hot(lin, PATCH * PATCH, dtype=jnp.float32)
-    # HIGHEST: default TPU matmul truncates the height data to bf16 (mm-cm
-    # error vs the 1e-4 m contact-gap threshold); the one-hot is exact
+    # Per-operand precision: the one-hot is EXACT in one bf16 pass (0/1), but
+    # the height data must not be truncated to bf16 (mm-cm error vs the 1e-4 m
+    # contact-gap threshold) -> HIGHEST (3-chunk decomposition) on the data
+    # operand only. 3 MXU passes instead of HIGHEST/HIGHEST's 6 — profiled
+    # 3.0 -> ~1.5 ms/step at N=4096, P=78, 4 substeps.
     vals = jnp.einsum("npc,nkc->nkp", onehot, patches,
-                      precision=jax.lax.Precision.HIGHEST)   # (N, 3, P)
+                      precision=(jax.lax.Precision.DEFAULT,
+                                 jax.lax.Precision.HIGHEST))   # (N, 3, P)
     return vals[:, 0], vals[:, 1], vals[:, 2]

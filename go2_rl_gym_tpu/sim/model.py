@@ -298,8 +298,10 @@ def parse_urdf(path: str) -> RobotModel:
 
 _GO2_URDF_CANDIDATES = (
     os.environ.get("GO2_URDF_PATH", ""),
-    os.path.join(os.path.dirname(__file__), "..", "..", "resources", "go2.urdf"),
-    "/root/reference/resources/robots/go2/urdf/go2.urdf",
+    os.path.join(os.path.dirname(__file__), "..", "..", "resources",
+                 "robots", "go2", "urdf", "go2.urdf"),
+    os.path.join(os.path.dirname(__file__), "..", "..", "resources",
+                 "go2.urdf"),
 )
 
 _cached_go2 = None

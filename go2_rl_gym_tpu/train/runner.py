@@ -13,7 +13,6 @@ obs-history buffer for the student encoder lives in the carried RunnerState
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 import time
 from collections import deque
@@ -89,32 +88,44 @@ class OnPolicyRunner:
         self.mesh = None
         self._train_step = jax.jit(self._build_train_step())
 
-    def attach_mesh(self, rs: RunnerState, n_devices: Optional[int] = None):
+    def attach_mesh(self, rs: Optional[RunnerState] = None,
+                    n_devices: Optional[int] = None):
         """Switch to data-parallel execution over a device mesh: envs shard
         on the `data` axis, params replicate, XLA inserts the collectives
         (the reference has no working multi-device path — SURVEY.md §2.5).
 
-        Returns the resharded RunnerState; subsequent learn() calls use the
-        sharded train step."""
+        Single-process path: pass the materialized `rs` to reshard it (and
+        get it back). Multi-process path: call attach_mesh() FIRST (rs=None)
+        and then init_runner_state(), which builds the state already sharded
+        so no process ever holds the full arrays."""
         from go2_rl_gym_tpu.distributed import mesh as mesh_lib
         self.mesh = mesh_lib.make_mesh(n_devices)
-        rs = mesh_lib.shard_runner_state(self.mesh, rs, self.env.num_envs)
-        in_sh = mesh_lib.batch_shardings(self.mesh, rs, self.env.num_envs)
-        self._train_step = jax.jit(self._build_train_step(),
-                                   in_shardings=(in_sh,))
+        if rs is not None:
+            rs = mesh_lib.shard_runner_state(self.mesh, rs)
+            in_sh = mesh_lib.runner_shardings(self.mesh, rs)
+            self._train_step = jax.jit(self._build_train_step(),
+                                       in_shardings=(in_sh,))
         return rs
 
     # ------------------------------------------------------------------
 
-    def init_runner_state(self, key, init_at_random_ep_len=False) -> RunnerState:
+    def init_runner_state(self, key,
+                          init_at_random_ep_len=False) -> RunnerState:
         """Jitted end-to-end (eager env init would dispatch thousands of tiny
-        device ops — pathological through a remote-TPU relay)."""
+        device ops — pathological through a remote-TPU relay).
 
-        @functools.partial(jax.jit, static_argnums=1)
-        def _init(key, random_len):
-            k_env, k_run, k_len = jax.random.split(key, 3)
+        If attach_mesh() ran first, the whole RunnerState is built INSIDE a
+        jit with out_shardings on the mesh: under multi-process jax each
+        process computes/materializes only its addressable shards — the full
+        unsharded state never exists on any host (the reference-scale
+        failure mode of building first and sharding after)."""
+        from go2_rl_gym_tpu.distributed import mesh as mesh_lib
+
+        def _init(key):
+            k_init, k_alg = jax.random.split(key)
+            k_env, k_run, k_len = jax.random.split(k_init, 3)
             env_state = self.env.init_state(k_env)
-            if random_len:
+            if init_at_random_ep_len:
                 # reference on_policy_runner.py:127-128
                 rand_len = jax.random.randint(
                     k_len, (self.env.num_envs,), 0, self.env.max_episode_length)
@@ -127,17 +138,21 @@ class OnPolicyRunner:
                                  self.env.num_obs))
             history = jnp.concatenate([history[:, 1:], out.obs[:, None]],
                                       axis=1)
-            return env_state, out, history, k_run
+            return RunnerState(
+                env_state=env_state, train_state=self.alg.init(k_alg),
+                obs=out.obs, priv_obs=out.privileged_obs,
+                history=history, key=k_run,
+                cur_reward_sum=jnp.zeros(self.env.num_envs),
+                cur_episode_length=jnp.zeros(self.env.num_envs))
 
-        k_init, k_alg = jax.random.split(key)
-        env_state, out, history, k_run = _init(k_init, init_at_random_ep_len)
-        train_state = jax.jit(self.alg.init)(k_alg)
-        return RunnerState(
-            env_state=env_state, train_state=train_state,
-            obs=out.obs, priv_obs=out.privileged_obs,
-            history=history, key=k_run,
-            cur_reward_sum=jnp.zeros(self.env.num_envs),
-            cur_episode_length=jnp.zeros(self.env.num_envs))
+        if self.mesh is None:
+            return jax.jit(_init)(key)
+        out_sh = mesh_lib.runner_shardings(
+            self.mesh, jax.eval_shape(_init, key))
+        rs = jax.jit(_init, out_shardings=out_sh)(key)
+        self._train_step = jax.jit(self._build_train_step(),
+                                   in_shardings=(out_sh,))
+        return rs
 
     # ------------------------------------------------------------------
 

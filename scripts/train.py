@@ -55,6 +55,10 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        # must run before ANY device use (make_env uploads terrain arrays)
+        from go2_rl_gym_tpu.distributed.mesh import initialize_multihost
+        initialize_multihost()
     from go2_rl_gym_tpu.utils.helpers import enable_compilation_cache
     enable_compilation_cache()
     if args.debug_nans:
@@ -77,16 +81,15 @@ def main():
         from go2_rl_gym_tpu.train.eval_hook import AsyncEvaluator
         runner.evaluator = AsyncEvaluator(runner.log_dir)
 
-    if args.multihost:
-        jax.distributed.initialize()
-        print(f"process {jax.process_index()}/{jax.process_count()}, "
-              f"{len(jax.devices())} devices")
-
     key = jax.random.PRNGKey(train_cfg.seed)
-    rs = runner.init_runner_state(key, init_at_random_ep_len=True)
     if args.num_devices or args.multihost or len(jax.devices()) > 1:
-        rs = runner.attach_mesh(rs, args.num_devices)
-        print(f"data-parallel over {len(runner.mesh.devices.flat)} devices")
+        # mesh FIRST: init_runner_state then builds the state already sharded
+        # (each process materializes only its addressable shards — required
+        # for multi-host where the full state may not fit one host)
+        runner.attach_mesh(n_devices=args.num_devices)
+        print(f"data-parallel over {len(runner.mesh.devices.flat)} devices, "
+              f"process {jax.process_index()}/{jax.process_count()}")
+    rs = runner.init_runner_state(key, init_at_random_ep_len=True)
     if args.resume:
         path = get_load_path(os.path.join(args.log_root,
                                           train_cfg.runner.experiment_name),

@@ -10,14 +10,31 @@ from go2_rl_gym_tpu.ops import terrain_patches as tp
 def _setup(seed=0, N=16, R=128, C=96):
     rng = np.random.default_rng(seed)
     h = rng.normal(size=(R, C)).astype(np.float32) * 0.1
-    channels = tp.build_channels(h, horizontal_scale=0.05)   # (3, C, R)
-    assert channels.shape == (3, C, R)
+    channels = tp.build_channels(h, horizontal_scale=0.05)   # (3, C', R')
+    Cp, Rp = channels.shape[1:]
+    assert (Cp, Rp) >= (C, R) and Cp % 8 == 0 and Rp % 128 == 0
+    np.testing.assert_array_equal(channels[:, C - 1, R - 1],
+                                  channels[:, -1, -1])       # edge replicate
     base_ix = rng.integers(0, R, size=N).astype(np.int32)
     base_iy = rng.integers(0, C, size=N).astype(np.int32)
     origins = tp.compute_origins(jnp.asarray(base_ix), jnp.asarray(base_iy),
-                                 R, C)
+                                 Rp, Cp)
     patches = tp.extract_patches(jnp.asarray(channels), origins)
-    return h, channels, origins, patches, (R, C), rng
+    return h, channels, origins, patches, (Rp, Cp), rng
+
+
+def test_pallas_extraction_matches_xla():
+    """The DMA kernel (interpret mode on CPU) is bit-exact vs the XLA path,
+    including origins that force clamped aligned windows at every edge."""
+    _, channels, origins, _, (Rp, Cp), rng = _setup(N=40)
+    edge = jnp.asarray([[0, 0], [Rp - tp.PATCH, Cp - tp.PATCH],
+                        [0, Cp - tp.PATCH], [Rp - tp.PATCH, 0]], jnp.int32)
+    origins = jnp.concatenate([origins, edge])
+    a = tp.extract_patches_xla(jnp.asarray(channels), origins)
+    b = tp.extract_patches_pallas(jnp.asarray(channels), origins,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(a),
+                                  np.asarray(b).reshape(a.shape))
 
 
 def test_lookup_matches_global_gather():
