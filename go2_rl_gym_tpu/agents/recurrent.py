@@ -60,7 +60,11 @@ class ActorCriticRecurrent(nn.Module):
         self.actor = MLP(list(self.actor_hidden_dims) + [self.num_actions],
                          self.activation)
         self.critic = MLP(list(self.critic_hidden_dims) + [1], self.activation)
-        self.std = self.param("std", lambda k, s: jnp.full(s, self.init_noise_std),
+        # explicit dtype: a weak-typed f32 leaf changes abstract signature
+        # after one optimizer step and forces a jit recompile
+        self.std = self.param("std",
+                              lambda k, s: jnp.full(s, self.init_noise_std,
+                                                    dtype=jnp.float32),
                               (self.num_actions,))
 
     def __call__(self, obs, critic_obs, state_a: LSTMState, state_c: LSTMState):

@@ -300,6 +300,9 @@ class PolicyCfg:
     expert_num: int = 8
     student_expert_num: int = 8
     obs_no_goal_mask: Optional[Tuple[bool, ...]] = None
+    # recurrent policy (reference actor_critic_recurrent.py:40-116)
+    rnn_type: str = "lstm"               # lstm | gru
+    rnn_hidden_size: int = 256
 
 
 @dataclass
@@ -350,6 +353,19 @@ _NO_GOAL_MASK_45 = tuple([True] * 6 + [False] * 3 + [True] * 36)
 
 def go2_ppo_train_cfg() -> TrainCfg:
     return TrainCfg(runner=RunnerCfg(experiment_name="go2_ppo"))
+
+
+def go2_lstm_train_cfg() -> TrainCfg:
+    """Recurrent-PPO task (the reference ships ActorCriticRecurrent but
+    registers no task with it, actor_critic_recurrent.py:40-116; this makes
+    the recurrent path first-class)."""
+    return TrainCfg(
+        runner_class_name="OnPolicyRunner",
+        policy=PolicyCfg(actor_hidden_dims=(256, 256, 128),
+                         critic_hidden_dims=(256, 256, 128)),
+        runner=RunnerCfg(policy_class_name="ActorCriticRecurrent",
+                         algorithm_class_name="RecurrentPPO",
+                         experiment_name="go2_lstm"))
 
 
 def go2_cts_train_cfg() -> TrainCfg:

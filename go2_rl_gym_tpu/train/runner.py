@@ -41,6 +41,8 @@ class RunnerState(NamedTuple):
     # episode bookkeeping (reference on_policy_runner.py:142-143)
     cur_reward_sum: jax.Array       # (N,)
     cur_episode_length: jax.Array   # (N,)
+    # recurrent-policy RNN state (empty tuple for feedforward algorithms)
+    memory: Any = ()
 
 
 class OnPolicyRunner:
@@ -60,15 +62,22 @@ class OnPolicyRunner:
             self.evaluator = AsyncEvaluator(log_dir, scenes=eval_scenes)
         self.num_steps = train_cfg.runner.num_steps_per_env
         self.save_interval = train_cfg.runner.save_interval
-        self.is_cts = train_cfg.runner.algorithm_class_name != "PPO"
+        alg_name = train_cfg.runner.algorithm_class_name
+        self.is_recurrent = alg_name == "RecurrentPPO"
+        self.is_cts = alg_name not in ("PPO", "RecurrentPPO")
         self.history_length = train_cfg.history_length if self.is_cts else 1
 
         num_critic_obs = env.num_privileged_obs or env.num_obs
         if self.is_cts:
             self.alg = cts_lib.CTS(
-                train_cfg.runner.algorithm_class_name,
+                alg_name,
                 env.num_obs, num_critic_obs, env.num_actions, env.num_envs,
                 train_cfg.history_length, train_cfg.policy, train_cfg.algorithm)
+        elif self.is_recurrent:
+            from go2_rl_gym_tpu.agents import recurrent_ppo
+            self.alg = recurrent_ppo.RecurrentPPO(
+                env.num_obs, num_critic_obs, env.num_actions,
+                train_cfg.policy, train_cfg.algorithm)
         else:
             self.alg = ppo_lib.PPO(env.num_obs, num_critic_obs,
                                    env.num_actions, train_cfg.policy,
@@ -143,7 +152,9 @@ class OnPolicyRunner:
                 obs=out.obs, priv_obs=out.privileged_obs,
                 history=history, key=k_run,
                 cur_reward_sum=jnp.zeros(self.env.num_envs),
-                cur_episode_length=jnp.zeros(self.env.num_envs))
+                cur_episode_length=jnp.zeros(self.env.num_envs),
+                memory=(self.alg.zero_memory(self.env.num_envs)
+                        if self.is_recurrent else ()))
 
         if self.mesh is None:
             return jax.jit(_init)(key)
@@ -163,21 +174,29 @@ class OnPolicyRunner:
         lam = self.cfg.algorithm.lam
         is_cts = self.is_cts
 
+        is_recurrent = self.is_recurrent
+
         def train_step(rs: RunnerState):
             nonlocal_train = rs.train_state
+            mem0 = rs.memory          # rollout-start RNN state for the replay
 
             def rollout_step(carry, _):
-                env_state, obs, priv, history, key, rew_sum, ep_len = carry
+                env_state, obs, priv, history, key, rew_sum, ep_len, mem = carry
                 key, k_act = jax.random.split(key)
                 hist_flat = history.reshape(history.shape[0], -1)
                 if is_cts:
                     actions, values, logp, mu, std = alg.act(
                         nonlocal_train.params1, nonlocal_train.params2, k_act,
                         obs, priv, hist_flat)
+                elif is_recurrent:
+                    actions, values, logp, mu, std, mem = alg.act(
+                        nonlocal_train.params, k_act, obs, priv, mem)
                 else:
                     actions, values, logp, mu, std = alg.act(
                         nonlocal_train.params, k_act, obs, priv)
                 env_state, out = env.step(env_state, actions)
+                if is_recurrent:
+                    mem = alg.reset_memory(mem, out.done)
                 rewards = alg.process_rewards(out.rew, values, out.time_outs,
                                               gamma)
                 if is_cts:
@@ -214,28 +233,34 @@ class OnPolicyRunner:
                 ep_len = ep_len * (1.0 - done_f)
                 out_metrics = dict(out.metrics)
                 return ((env_state, out.obs, out.privileged_obs, history, key,
-                         rew_sum, ep_len),
+                         rew_sum, ep_len, mem),
                         (trans, ep_stats, out_metrics))
 
             carry = (rs.env_state, rs.obs, rs.priv_obs, rs.history, rs.key,
-                     rs.cur_reward_sum, rs.cur_episode_length)
+                     rs.cur_reward_sum, rs.cur_episode_length, rs.memory)
             carry, (traj, ep_stats, env_metrics) = jax.lax.scan(
                 rollout_step, carry, None, length=self.num_steps)
-            (env_state, obs, priv, history, key, rew_sum, ep_len) = carry
+            (env_state, obs, priv, history, key, rew_sum, ep_len, mem) = carry
 
             hist_flat = history.reshape(history.shape[0], -1)
             if is_cts:
                 last_values = alg.value(nonlocal_train.params1,
                                         nonlocal_train.params2, obs, priv,
                                         hist_flat)
+            elif is_recurrent:
+                last_values = alg.value(nonlocal_train.params, priv, mem)
             else:
                 last_values = alg.value(nonlocal_train.params, priv)
             returns, advantages = common.compute_gae(
                 traj.rewards, traj.values, traj.dones, last_values, gamma, lam)
 
             key, k_up = jax.random.split(key)
-            train_state, loss_metrics = alg.update(
-                nonlocal_train, traj, returns, advantages, k_up)
+            if is_recurrent:
+                train_state, loss_metrics = alg.update(
+                    nonlocal_train, traj, returns, advantages, k_up, mem0)
+            else:
+                train_state, loss_metrics = alg.update(
+                    nonlocal_train, traj, returns, advantages, k_up)
 
             # aggregate env metrics over the rollout
             agg = {}
@@ -256,7 +281,8 @@ class OnPolicyRunner:
             new_rs = RunnerState(
                 env_state=env_state, train_state=train_state, obs=obs,
                 priv_obs=priv, history=history, key=key,
-                cur_reward_sum=rew_sum, cur_episode_length=ep_len)
+                cur_reward_sum=rew_sum, cur_episode_length=ep_len,
+                memory=mem)
             return new_rs, agg
 
         return train_step

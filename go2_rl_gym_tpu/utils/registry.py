@@ -65,6 +65,8 @@ register("go2_moe_ng_cts", cfgs.Go2Cfg, cfgs.go2_moe_ng_cts_train_cfg)
 register("go2_mcp_cts", cfgs.Go2Cfg, cfgs.go2_mcp_cts_train_cfg)
 register("go2_ac_moe_cts", cfgs.Go2Cfg, cfgs.go2_ac_moe_cts_train_cfg)
 register("go2_dual_moe_cts", cfgs.Go2Cfg, cfgs.go2_dual_moe_cts_train_cfg)
+# recurrent PPO (the reference ships the module but registers no task)
+register("go2_lstm", cfgs.Go2Cfg, cfgs.go2_lstm_train_cfg)
 
 # ---- ablation variant tasks (reference go2_config_{vanilla,...}.py) ----
 from go2_rl_gym_tpu.env import config_variants as _variants  # noqa: E402
