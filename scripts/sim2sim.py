@@ -29,6 +29,9 @@ def main():
     p.add_argument("--duration", type=float, default=None)
     p.add_argument("--video", default=None)
     p.add_argument("--record-moe", default=None)
+    p.add_argument("--interactive", action="store_true",
+                   help="live mujoco viewer + teleop + velocity arrows "
+                        "(+ MoE HUD with --record-moe); needs a display")
     args = p.parse_args()
 
     import yaml
@@ -43,6 +46,16 @@ def main():
 
     policy = mujoco_eval.TorchPolicy(policy_path,
                                      record_moe=bool(args.record_moe))
+    if args.interactive:
+        from go2_rl_gym_tpu.deploy.viewer import run_interactive
+        run_interactive(policy, scene, duration_s=min(duration, 600.0),
+                        simulation_dt=float(cfg.get("simulation_dt", 0.002)),
+                        control_decimation=int(cfg.get("control_decimation", 10)),
+                        kp=float(cfg.get("kp", 20.0)),
+                        kd=float(cfg.get("kd", 0.5)),
+                        action_scale=float(cfg.get("action_scale", 0.25)),
+                        fixed_cmd=cmd, moe_hud=bool(args.record_moe))
+        return
     res = mujoco_eval.run_episode(
         policy, scene, cmd, duration_s=min(duration, 120.0),
         simulation_dt=float(cfg.get("simulation_dt", 0.002)),

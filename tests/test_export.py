@@ -1,4 +1,5 @@
 """Export round-trip tests: TorchScript mirror must match the JAX forward."""
+import os
 import numpy as np
 import pytest
 
@@ -87,3 +88,54 @@ def test_pkl_roundtrip(tmp_path):
     chex = pytest.importorskip("chex")
     chex.assert_trees_all_close(
         jax.tree.map(jnp.asarray, loaded), params, atol=0)
+
+
+@pytest.mark.parametrize("family", ["cts", "moe_cts"])
+def test_stacked_by_term_adapter_matches_ring_buffer(family):
+    """The ONNX-interface adapter (stacked-BY-TERM history input, reference
+    _OnnxPolicyExporter.flatten_obs, exporter.py:238-262) must agree with
+    feeding the same frames through the ring-buffer policy in order."""
+    torch = pytest.importorskip("torch")
+    pc = _policy_cfg(family)
+    model = make_cts_model(family, 45, 263, 12, pc, 5)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 45)),
+                        jnp.zeros((1, 263)), jnp.zeros((1, 225)))
+
+    ring = exporter.build_torch_policy(params, family, 45, 5, NO_GOAL)
+    stacked = exporter.build_torch_policy_stacked(params, family, 45, 5,
+                                                  NO_GOAL)
+    frames = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (5, 45)),
+                        np.float32)
+    # build the stacked-by-term input: [term0 over frames | term1 ... ]
+    dims = (3, 3, 3, 12, 12, 12)
+    chunks, off = [], 0
+    for d in dims:
+        chunks.append(frames[:, off:off + d].reshape(1, -1))  # (1, 5*d)
+        off += d
+    x = torch.from_numpy(np.concatenate(chunks, axis=1))
+
+    ring.reset()
+    for f in frames:
+        want = ring(torch.from_numpy(f).unsqueeze(0))
+    got = stacked(x)
+    if isinstance(want, tuple):
+        want, got = want[0], got[0]
+    np.testing.assert_allclose(got.detach().numpy(), want.detach().numpy(),
+                               atol=1e-5)
+
+
+def test_onnx_export_gates_cleanly(tmp_path):
+    """Without the onnx wheel, ONNX export returns None instead of raising
+    (exporter.py:298-312); with it, it writes a file."""
+    pytest.importorskip("torch")
+    pc = _policy_cfg("cts")
+    model = make_cts_model("cts", 45, 263, 12, pc, 5)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 45)),
+                        jnp.zeros((1, 263)), jnp.zeros((1, 225)))
+    path = exporter.export_policy_as_onnx(params, "cts", str(tmp_path),
+                                          obs_no_goal_mask=NO_GOAL)
+    try:
+        import onnx  # noqa: F401
+        assert path is not None and os.path.exists(path)
+    except ImportError:
+        assert path is None
