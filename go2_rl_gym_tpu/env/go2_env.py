@@ -795,7 +795,12 @@ class Go2Env:
         bad_state = ~(jnp.isfinite(sim.base_pos).all(axis=1)
                       & jnp.isfinite(sim.base_quat).all(axis=1)
                       & jnp.isfinite(sim.qd).all(axis=1)
-                      & (jnp.abs(sim.base_pos) < 1e4).all(axis=1))
+                      & (jnp.abs(sim.base_pos) < 1e4).all(axis=1)
+                      # unphysical speeds (a Go2 peaks ~5 m/s): a solver
+                      # blow-up must terminate the episode immediately or a
+                      # flying robot poisons the batch rewards for seconds
+                      & (jnp.abs(sim.base_lin_vel) < 30.0).all(axis=1)
+                      & (jnp.abs(sim.base_ang_vel) < 60.0).all(axis=1))
         # a base driven below the terrain surface is an invalid state the
         # top-K contact set may fail to report as base contact (all K slots
         # taken by deeper leg geoms) — treat as termination

@@ -61,8 +61,13 @@ def build_channels(height_m: np.ndarray, horizontal_scale: float) -> np.ndarray:
     hy = np.roll(h, -1, axis=1)
     hy[:, -1] = h[:, -1]
     hmin = np.minimum(np.minimum(h, hx), hy)
-    dx = (hx - h) / horizontal_scale
-    dy = (hy - h) / horizontal_scale
+    # slopes: CENTERED differences of hmin (exactly what the direct path's
+    # _terrain_normal_t computes from +-1-cell min-of-3 queries) — forward
+    # differences of raw h gave near-horizontal normals one cell away from
+    # stair edges, diverging from the direct path by up to 40 deg at contacts
+    pad = np.pad(hmin, 1, mode="edge")
+    dx = (pad[2:, 1:-1] - pad[:-2, 1:-1]) / (2 * horizontal_scale)
+    dy = (pad[1:-1, 2:] - pad[1:-1, :-2]) / (2 * horizontal_scale)
     # (3, C, R): x (rows of the heightfield) minor — matches the layout XLA
     # picks for the fast windowed-slice lowering, so no in-context relayout
     ch = np.ascontiguousarray(np.stack([hmin, dx, dy], axis=0)

@@ -714,14 +714,19 @@ def substep(model: RobotModel, layout: QuadLayout, params: SimParams,
 
     Bmat = Binv.reshape(K, 3, 18)
 
+    # mass-splitting relaxation (see tengine._substep): fixed-omega Jacobi
+    # diverges on clustered contacts; scale omega by the active-contact count
+    n_act = jnp.sum(active.astype(jnp.float32))
+    omega = params.relaxation * jnp.minimum(1.0, 4.0 / jnp.maximum(n_act, 1.0))
+
     def solver_body(_, lam):
         du = jnp.einsum("kfe,kf->e", Bmat, lam)
         v_now = jnp.einsum("kfe,e->kf", Jc, u_free + du)
         dlam_n = (v_target_n - v_now[:, 0]) * inv_d[:, 0]
-        lam_n = jnp.maximum(lam[:, 0] + params.relaxation * dlam_n, 0.0)
+        lam_n = jnp.maximum(lam[:, 0] + omega * dlam_n, 0.0)
         lam_n = jnp.where(active, lam_n, 0.0)
         dlam_t = -v_now[:, 1:] * inv_d[:, 1:]
-        lam_t = lam[:, 1:] + params.relaxation * dlam_t
+        lam_t = lam[:, 1:] + omega * dlam_t
         t_norm = jnp.linalg.norm(lam_t, axis=-1, keepdims=True)
         max_t = mu * lam_n[:, None]
         scale = jnp.minimum(1.0, max_t / (t_norm + 1e-9))

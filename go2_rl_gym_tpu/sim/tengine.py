@@ -457,14 +457,24 @@ def _substep(model: RobotModel, layout: QuadLayout, params: SimParams,
 
     Bmat = Binv.reshape(K, 3, 18, N)
 
+    # Mass-splitting relaxation: plain Jacobi with a fixed omega DIVERGES
+    # when many coupled contacts share the articulated chain (reproduced:
+    # a stair-edge pile-up at omega=0.65 reached the 1000 m/s velocity clamp
+    # within one policy step; omega<=0.3 on the same state is stable). Scale
+    # omega down with the active-contact count so the common <=4-contact
+    # stance keeps full convergence speed while clustered states stay
+    # contractive (the PGS/Jacobi "averaged projections" trick).
+    n_act = jnp.sum(active.astype(jnp.float32), axis=0)    # (N,)
+    omega = params.relaxation * jnp.minimum(1.0, 4.0 / jnp.maximum(n_act, 1.0))
+
     def solver_body(_, lam):                              # lam (K,3,N)
         du = jnp.sum(Bmat * lam[:, :, None, :], axis=(0, 1))    # (18,N)
         v_now = jnp.sum(Jc * (u_free + du)[None, None, :, :], axis=2)  # (K,3,N)
         dlam_n = (v_target_n - v_now[:, 0, :]) * inv_d[:, 0, :]
-        lam_n = jnp.maximum(lam[:, 0, :] + params.relaxation * dlam_n, 0.0)
+        lam_n = jnp.maximum(lam[:, 0, :] + omega[None] * dlam_n, 0.0)
         lam_n = jnp.where(active, lam_n, 0.0)
         dlam_t = -v_now[:, 1:, :] * inv_d[:, 1:, :]
-        lam_t = lam[:, 1:, :] + params.relaxation * dlam_t
+        lam_t = lam[:, 1:, :] + omega[None, None] * dlam_t
         t_norm = jnp.sqrt(jnp.sum(lam_t * lam_t, axis=1, keepdims=True))
         max_t = (mu * lam_n)[:, None, :]
         scale = jnp.minimum(1.0, max_t / (t_norm + 1e-9))

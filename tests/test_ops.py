@@ -69,12 +69,14 @@ def test_lookup_clamps_out_of_patch():
 
 def test_build_channels_min_of_three():
     h = np.arange(12, dtype=np.float32).reshape(3, 4)
-    ch = tp.build_channels(h, 0.1)                           # (3, C=4, R=3)
+    ch = tp.build_channels(h, 0.1)                           # (3, C', R')
     # hmin at (x=0, y=0): min(h[0,0], h[1,0], h[0,1]) = min(0, 4, 1) = 0
     assert ch[0, 0, 0] == 0.0
-    # interior slopes: dx = (h[x+1,y]-h[x,y])/scale = 4/0.1, dy = 1/0.1
-    np.testing.assert_allclose(ch[1, 0, 0], 40.0)
-    np.testing.assert_allclose(ch[2, 0, 0], 10.0)
-    # border rows replicate (forward difference clamped)
-    np.testing.assert_allclose(ch[1, :, -1], 0.0)
-    np.testing.assert_allclose(ch[2, -1, :], 0.0)
+    # slopes are CENTERED differences of hmin (matching the direct path's
+    # _terrain_normal_t): at the x=0 edge, (hmin[1,0]-hmin[0,0])/(2*0.1)
+    # with edge padding; hmin[1,0] = min(4, 8, 5) = 4 -> dx = 20
+    np.testing.assert_allclose(ch[1, 0, 0], 20.0)
+    # dy: (hmin[0,1]-hmin[0,0])/(2*0.1); hmin[0,1] = min(1, 5, 2) = 1 -> 5
+    np.testing.assert_allclose(ch[2, 0, 0], 5.0)
+    # padded region replicates the edge values
+    np.testing.assert_allclose(ch[0, 3, 2], ch[0, -1, -1])
