@@ -297,14 +297,28 @@ def evaluate_policy(policy_factory: Callable[[], Callable],
                     commands=((1.0, 0.0, 0.0), (-0.5, 0.0, 0.0),
                               (0.5, 0.3, 0.0), (0.0, 0.0, 1.0)),
                     duration_s: float = 8.0) -> Dict[str, float]:
-    """Command/scene sweep -> aggregate scores (RoboGauge-style overall)."""
+    """Command/scene sweep -> aggregate + per-scene scores.
+
+    NOTE: this is an in-repo scorer in the spirit of the reference's
+    RoboGauge table (README.md:56-67), not the RoboGauge service itself —
+    numbers are comparable BETWEEN policies evaluated here, not against the
+    reference's published scores."""
     rows = []
     for scene in scenes:
         for cmd in commands:
             policy = policy_factory()   # fresh history per episode
-            rows.append(run_episode(policy, scene, cmd, duration_s))
+            r = run_episode(policy, scene, cmd, duration_s)
+            r["scene"] = scene
+            rows.append(r)
     agg = {k: float(np.mean([r[k] for r in rows]))
            for k in ("tracking", "safety", "quality")}
     agg["overall"] = (agg["tracking"] + agg["safety"] + agg["quality"]) / 3.0
     agg["episodes"] = len(rows)
+    for scene in scenes:
+        sr = [r for r in rows if r["scene"] == scene]
+        for k in ("tracking", "safety", "quality"):
+            agg[f"{scene}/{k}"] = float(np.mean([r[k] for r in sr]))
+        agg[f"{scene}/overall"] = (agg[f"{scene}/tracking"]
+                                   + agg[f"{scene}/safety"]
+                                   + agg[f"{scene}/quality"]) / 3.0
     return agg

@@ -24,30 +24,47 @@ def run_and_trace(fn, args, trace_dir):
         jax.block_until_ready(out)
 
 
-def summarize(trace_dir, top=40):
+def summarize(trace_dir, top=40, iters=3):
+    """SELF-time per op (nested spans subtracted from their parents —
+    while-loop wrappers otherwise double-count their bodies), annotated with
+    the source line XLA attributes the op to."""
     import json
     files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     assert files, f"no trace.json.gz under {trace_dir}"
-    tot = defaultdict(float)
+    self_t = defaultdict(float)
+    src = {}
     for f in files:
         data = json.loads(gzip.open(f).read())
-        # find device-track pids (TPU ops live on "/device:TPU:x" tracks)
         pid_names = {}
         for ev in data.get("traceEvents", []):
             if ev.get("ph") == "M" and ev.get("name") == "process_name":
                 pid_names[ev["pid"]] = ev["args"].get("name", "")
         dev_pids = {p for p, n in pid_names.items()
                     if "TPU" in n or "device" in n.lower()}
+        tracks = defaultdict(list)
         for ev in data.get("traceEvents", []):
-            if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
-                continue
-            tot[ev["name"]] += ev.get("dur", 0) / 1e3  # us -> ms
-    items = sorted(tot.items(), key=lambda kv: -kv[1])
-    total = sum(tot.values())
-    print(f"total device op time: {total:.2f} ms (3 iters)")
+            if ev.get("ph") == "X" and ev.get("pid") in dev_pids:
+                tracks[(ev["pid"], ev.get("tid"))].append(ev)
+                if "args" in ev and "source" in ev["args"]:
+                    src.setdefault(ev["name"], ev["args"]["source"])
+        for evs in tracks.values():
+            evs.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+            stack = []
+            for ev in evs:
+                ts, dur = ev["ts"], ev.get("dur", 0)
+                while stack and stack[-1][0] <= ts:
+                    stack.pop()
+                if stack:
+                    self_t[stack[-1][1]] -= dur / 1e3
+                self_t[ev["name"]] += dur / 1e3
+                stack.append((ts + dur, ev["name"]))
+    items = sorted(self_t.items(), key=lambda kv: -kv[1])
+    total = sum(v for v in self_t.values() if v > 0)
+    print(f"total device self time: {total/iters:.2f} ms/iter ({iters} iters)")
     for name, ms in items[:top]:
-        print(f"{ms:9.3f} ms  {100*ms/total:5.1f}%  {name[:140]}")
+        where = src.get(name, "")
+        print(f"{ms/iters:9.3f} ms  {100*ms/total:5.1f}%  {name[:60]:60s} {where[-60:]}")
 
 
 def main():
