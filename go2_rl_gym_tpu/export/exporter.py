@@ -278,6 +278,49 @@ def build_torch_policy(params, family: str, num_obs: int = 45,
                 return action, (weights, latent)
         return Policy()
 
+    if family == "lstm":
+        # recurrent actor export (reference exporter.py forward_lstm:118-124):
+        # hidden/cell state buffers carried in the module, reset() zeroes them
+        mem = p["memory_a"]["cell"]
+        hidden = np.asarray(mem["hi"]["kernel"]).shape[1]
+        lstm = nn.LSTM(input_size=np.asarray(mem["ii"]["kernel"]).shape[0],
+                       hidden_size=hidden, num_layers=1)
+        # flax OptimizedLSTMCell gates: i, f, g, o with separate input (i*)
+        # and recurrent (h*) kernels; torch packs (W_ih (4H, in), W_hh (4H, H))
+        with torch.no_grad():
+            w_ih = np.concatenate([np.asarray(mem[f"i{g}"]["kernel"]).T
+                                   for g in "ifgo"], axis=0)
+            w_hh = np.concatenate([np.asarray(mem[f"h{g}"]["kernel"]).T
+                                   for g in "ifgo"], axis=0)
+            b = np.concatenate([np.asarray(mem[f"h{g}"]["bias"])
+                                for g in "ifgo"], axis=0)
+            lstm.weight_ih_l0.copy_(torch.from_numpy(w_ih.copy()))
+            lstm.weight_hh_l0.copy_(torch.from_numpy(w_hh.copy()))
+            lstm.bias_ih_l0.copy_(torch.zeros(4 * hidden))
+            lstm.bias_hh_l0.copy_(torch.from_numpy(b.copy()))
+        actor = _mlp_from_flax(torch, nn, p["actor"])
+
+        class Policy(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.rnn = lstm
+                self.actor = actor
+                self.register_buffer("hidden_state", torch.zeros(1, 1, hidden))
+                self.register_buffer("cell_state", torch.zeros(1, 1, hidden))
+
+            @torch.jit.export
+            def reset(self):
+                self.hidden_state.zero_()
+                self.cell_state.zero_()
+
+            def forward(self, obs):
+                x, (h, c) = self.rnn(obs.unsqueeze(0),
+                                     (self.hidden_state, self.cell_state))
+                self.hidden_state = h
+                self.cell_state = c
+                return self.actor(x.squeeze(0))
+        return Policy()
+
     raise ValueError(f"unsupported family {family}")
 
 

@@ -139,3 +139,33 @@ def test_onnx_export_gates_cleanly(tmp_path):
         assert path is not None and os.path.exists(path)
     except ImportError:
         assert path is None
+
+
+def test_lstm_export_matches_jax():
+    """Recurrent policy TorchScript export (reference exporter.py
+    forward_lstm:118-124): stateful hidden/cell buffers must reproduce the
+    flax ActorCriticRecurrent actor path step for step."""
+    torch = pytest.importorskip("torch")
+    from go2_rl_gym_tpu.agents.recurrent import (ActorCriticRecurrent,
+                                                 LSTMState)
+    model = ActorCriticRecurrent(num_actions=12,
+                                 actor_hidden_dims=(64, 32),
+                                 critic_hidden_dims=(64, 32),
+                                 rnn_hidden_size=32)
+    mem = LSTMState(h=jnp.zeros((1, 32)), c=jnp.zeros((1, 32)))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 45)),
+                        jnp.zeros((1, 45)), mem, mem)
+
+    policy = exporter.build_torch_policy(params, "lstm", num_obs=45)
+    scripted = torch.jit.script(policy)
+    scripted.reset()
+
+    obs_seq = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (6, 45)),
+                         np.float32)
+    state = mem
+    for obs in obs_seq:
+        mu, _, state = model.apply(params, jnp.asarray(obs)[None], state,
+                                   method="actor_dist")
+        got = scripted(torch.from_numpy(obs).unsqueeze(0))
+        np.testing.assert_allclose(got.detach().numpy(), np.asarray(mu),
+                                   atol=2e-5)
