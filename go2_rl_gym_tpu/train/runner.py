@@ -423,6 +423,18 @@ class OnPolicyRunner:
         self.current_iteration = int(restored["iteration"])
         return restored["runner_state"]
 
+    def load_params(self, path: str):
+        """Restore ONLY the train-state (params + optimizer) subtree from a
+        checkpoint, independent of env count — the play/eval path (a 4096-env
+        training checkpoint must load into a 16-env play session, reference
+        play.py:38-40 semantics)."""
+        import orbax.checkpoint as ocp
+        raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        ts = raw["runner_state"]["train_state"]
+        if self.is_cts:
+            return cts_lib.merge_params(ts["params1"], ts["params2"])
+        return ts["params"]
+
     def get_inference_params(self, rs: RunnerState):
         if self.is_cts:
             return cts_lib.merge_params(rs.train_state.params1,

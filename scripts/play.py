@@ -53,10 +53,10 @@ def main():
     run_root = os.path.join(args.log_root, train_cfg.runner.experiment_name)
     path = get_load_path(run_root, args.load_run, args.checkpoint)
     print(f"loading {path}")
-    rs = runner.load(rs, path)
+    # params-only restore: training checkpoints carry env-count-shaped state
+    # that must not constrain the play session (reference play.py:38-40)
+    params = runner.load_params(path)
     run_dir = os.path.dirname(path)
-
-    params = runner.get_inference_params(rs)
     export_dir = os.path.join(run_dir, "exported", "policies")
     algo = train_cfg.runner.algorithm_class_name
     if algo != "PPO":

@@ -105,3 +105,38 @@ def test_cts_minibatch_teacher_first_layout():
     student_ids = set(np.asarray(flat[s_pos][:, 0], np.int32))
     assert teacher_ids == set(alg.teacher_envs.tolist())
     assert student_ids == set(alg.student_envs.tolist())
+
+
+def test_load_params_across_env_counts(tmp_path):
+    """A training checkpoint saved at one env count must load params-only
+    into a session with a different env count (play/eval path, reference
+    play.py:38-40)."""
+    from go2_rl_gym_tpu.env.config import Go2Cfg, go2_cts_train_cfg
+    from go2_rl_gym_tpu.env.go2_env import Go2Env
+    from go2_rl_gym_tpu.train.runner import OnPolicyRunner
+
+    def make(n):
+        cfg = Go2Cfg()
+        cfg.env.num_envs = n
+        cfg.terrain.mesh_type = "plane"
+        cfg.terrain.measure_heights = False
+        cfg.terrain.curriculum = False
+        tc = go2_cts_train_cfg()
+        tc.runner.num_steps_per_env = 2
+        env = Go2Env(cfg, num_steps_per_env=2)
+        return OnPolicyRunner(env, tc, log_dir=None)
+
+    r16 = make(16)
+    rs = r16.init_runner_state(jax.random.PRNGKey(0))
+    path = str(tmp_path / "ck")
+    r16.save(rs, path)
+
+    r8 = make(8)
+    params = r8.load_params(path)
+    want = r16.get_inference_params(rs)
+    got_leaves = {jax.tree_util.keystr(p): v
+                  for p, v in jax.tree_util.tree_leaves_with_path(params)}
+    for p, v in jax.tree_util.tree_leaves_with_path(want):
+        np.testing.assert_allclose(got_leaves[jax.tree_util.keystr(p)],
+                                   np.asarray(v), atol=0,
+                                   err_msg=jax.tree_util.keystr(p))
