@@ -428,8 +428,19 @@ class OnPolicyRunner:
         checkpoint, independent of env count — the play/eval path (a 4096-env
         training checkpoint must load into a 16-env play session, reference
         play.py:38-40 semantics)."""
+        import numpy as _np
         import orbax.checkpoint as ocp
-        raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        ckptr = ocp.PyTreeCheckpointer()
+        path = os.path.abspath(path)
+        # restore as plain numpy: the stored shardings name the devices of
+        # the SAVING process (e.g. a TPU) and fail to resolve anywhere else
+        meta = ckptr.metadata(path)
+        tree = meta.item_metadata.tree if hasattr(meta, "item_metadata") \
+            else meta.tree
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=_np.ndarray), tree)
+        raw = ckptr.restore(path, item=jax.tree.map(lambda x: 0, tree),
+                            restore_args=restore_args)
         ts = raw["runner_state"]["train_state"]
         if self.is_cts:
             return cts_lib.merge_params(ts["params1"], ts["params2"])
