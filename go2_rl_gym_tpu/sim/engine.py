@@ -752,10 +752,15 @@ def substep(model: RobotModel, layout: QuadLayout, params: SimParams,
 
     # ---- diagnostics (world frame) ----
     f_contact = jnp.einsum("kf,kfa->ka", lam, frame) / dt
-    body_forces = jnp.zeros((model.nb, 3)).at[cbody].add(f_contact)
     foot_idx = jnp.asarray(model.foot_geom_idx)
     is_foot = (cidx[None, :] == foot_idx[:, None]).astype(jnp.float32)
     foot_forces = jnp.einsum("fk,ka->fa", is_foot, f_contact)
+    # foot contact is reported ONLY via foot_forces, never as calf-body
+    # contact (reference keeps feet as separate rigid bodies via
+    # dont_collapse; see sim/tengine.py for the full rationale)
+    nonfoot = 1.0 - jnp.sum(is_foot, axis=0)
+    body_forces = jnp.zeros((model.nb, 3)).at[cbody].add(
+        f_contact * nonfoot[:, None])
     outputs = SimOutputs(
         contact_forces=body_forces,
         foot_forces=foot_forces,

@@ -379,8 +379,19 @@ def _substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     cgap = neg_gap.T                                      # (K,N)
     anc_g = jnp.asarray(layout.anc_mask, jnp.float32)[
         jnp.asarray(model.geom_body)]                     # (G,12) static
-    geom2body = jax.nn.one_hot(jnp.asarray(model.geom_body), model.nb,
-                               dtype=jnp.float32)         # (G,nb) static
+    # Feet are separate rigid bodies in the reference (go2.urdf marks the
+    # foot joints dont_collapse; legged_robot.py:1038-1048 indexes them
+    # apart from the penalised thigh/calf bodies). Our parser merges foot
+    # geoms into the calf body, so foot contact must be EXCLUDED from the
+    # per-body contact_forces report — otherwise every stance step reads as
+    # calf collision and the collision penalty makes standing itself
+    # negative-reward (the round-3 learning collapse). Foot forces are
+    # reported separately via foot_forces.
+    foot_sel = np.zeros(len(model.geom_body), np.float32)
+    foot_sel[np.asarray(model.foot_geom_idx)] = 1.0
+    geom2body_rep = (jax.nn.one_hot(jnp.asarray(model.geom_body), model.nb,
+                                    dtype=jnp.float32)    # (G,nb) static
+                     * jnp.asarray(1.0 - foot_sel)[:, None])
     if patch_data is not None:
         dx_c = cdata[:, 9]
         dy_c = cdata[:, 10]
@@ -506,7 +517,7 @@ def _substep(model: RobotModel, layout: QuadLayout, params: SimParams,
     # diagnostics in T layout
     frame = jnp.stack([n, t1, t2], axis=1)                # (K,3f,3c,N)
     f_contact = jnp.sum(frame * lam[:, :, None, :], axis=1) / dt   # (K,3,N)
-    bweight = jnp.einsum("kgn,gb->kbn", csel, geom2body)  # (K,nb,N)
+    bweight = jnp.einsum("kgn,gb->kbn", csel, geom2body_rep)  # (K,nb,N)
     body_forces = jnp.einsum("kbn,kcn->bcn", bweight, f_contact,
                              precision=jax.lax.Precision.HIGHEST)
     foot_idx = jnp.asarray(model.foot_geom_idx)           # (4,)

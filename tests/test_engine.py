@@ -102,8 +102,16 @@ def test_standing_equilibrium(model, setup):
     for _ in range(600):
         s, out = step(s)
     assert bool(jnp.isfinite(s.base_pos).all())
-    fz = float(out.contact_forces[:, 2].sum())
+    # ground reaction = foot forces + non-foot body contact (foot geoms are
+    # excluded from contact_forces, matching the reference's separate foot
+    # rigid bodies)
+    fz = float(out.foot_forces[:, 2].sum() + out.contact_forces[:, 2].sum())
     np.testing.assert_allclose(fz, 15.019 * 9.81, rtol=0.02)
+    # feet-only stance must report ZERO per-body contact force — a foot
+    # force leaking into the calf body fires the collision penalty on every
+    # stance step and makes standing negative-reward (the round-3 learning
+    # collapse; reference keeps feet as separate bodies via dont_collapse)
+    assert float(jnp.abs(out.contact_forces).max()) < 1e-3
     assert float(jnp.abs(s.qd).max()) < 0.1
     assert 0.2 < float(s.base_pos[2]) < 0.35
     assert float(jnp.abs(s.base_quat[:3]).max()) < 0.05
@@ -208,7 +216,8 @@ def test_sloped_terrain_standing(model, setup):
         s, out = step(s)
     assert bool(jnp.isfinite(s.base_pos).all())
     assert float(jnp.linalg.norm(s.base_pos[:2] - jnp.array([12.8, 12.8]))) < 0.5
-    assert float(out.contact_forces[:, 2].sum()) > 100.0
+    assert float(out.foot_forces[:, 2].sum()
+                 + out.contact_forces[:, 2].sum()) > 100.0
 
 
 def test_heightfield_min_of_three():

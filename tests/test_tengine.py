@@ -106,7 +106,8 @@ def test_tlayout_standing(setup):
     for _ in range(150):   # 3 s
         s, out, tau, _ = step_t(dyn, s, targets, kp, kd, ones, zeros)
     assert bool(jnp.isfinite(s.base_pos).all())
-    fz = np.asarray(out.contact_forces[:, :, 2].sum(axis=1))
+    fz = np.asarray(out.contact_forces[:, :, 2].sum(axis=1)
+                    + out.foot_forces[:, :, 2].sum(axis=1))
     np.testing.assert_allclose(fz, 15.019 * 9.81, rtol=0.03)
     assert np.all(np.asarray(s.base_pos[:, 2]) > 0.2)
 
