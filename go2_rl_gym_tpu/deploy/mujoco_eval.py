@@ -71,6 +71,15 @@ def load_scene_model(name: str):
             f = mesh.get("file")
             if f and not os.path.exists(os.path.join(scene_dir, meshdir, f)):
                 missing.add(mesh.get("name") or os.path.splitext(f)[0])
+        texdir = "assets"
+        for comp in root.iter("compiler"):
+            texdir = comp.get("texturedir", comp.get("assetdir", texdir))
+        for tex in root.iter("texture"):
+            f = tex.get("file")
+            if (f and not os.path.exists(os.path.join(scene_dir, texdir, f))
+                    and not os.path.exists(os.path.join(scene_dir, f))):
+                missing.add("texture:" + (tex.get("name")
+                                          or os.path.splitext(f)[0]))
         return missing
 
     missing = set()
@@ -93,6 +102,16 @@ def load_scene_model(name: str):
                         parent.remove(child)
                 elif child.tag == "geom" and child.get("mesh") in missing:
                     parent.remove(child)
+                elif child.tag == "texture":
+                    nm = "texture:" + (child.get("name") or os.path.splitext(
+                        child.get("file", ""))[0])
+                    if nm in missing:
+                        parent.remove(child)
+                elif (child.tag == "material"
+                      and ("texture:" + (child.get("texture") or "")) in missing):
+                    # material referencing a dropped texture: keep material
+                    # (geoms reference it) but drop the texture link
+                    del child.attrib["texture"]
         return ET.tostring(root, encoding="unicode")
 
     # inline includes with stripped content

@@ -341,18 +341,16 @@ def export_policy_as_jit(params, family: str, out_dir: str,
 def export_policy_as_onnx(params, family: str, out_dir: str,
                           filename: str = "policy.onnx", num_obs: int = 45,
                           history_length: int = 5, obs_no_goal_mask=None):
-    """ONNX export (reference exporter.py:27-44); gated on onnx availability."""
-    try:
-        import onnx  # noqa: F401
-    except ImportError:
-        return None
-    import torch
-    os.makedirs(out_dir, exist_ok=True)
-    policy = build_torch_policy(params, family, num_obs, history_length,
-                                obs_no_goal_mask)
-    path = os.path.join(out_dir, filename)
-    torch.onnx.export(policy, torch.zeros(1, num_obs), path, opset_version=11)
-    return path
+    """ONNX export (reference exporter.py:27-44 + 195-338 interface).
+
+    Uses the in-repo serializer (export/onnx_native.py) — no ``onnx`` wheel
+    needed — and emits the reference's stacked-by-term stateless interface
+    (input ``obs_history`` (1, L*num_obs), outputs actions[, weights,
+    latent])."""
+    from go2_rl_gym_tpu.export import onnx_native
+    return onnx_native.export_policy_as_onnx_native(
+        params, family, out_dir, filename, num_obs, history_length,
+        obs_no_goal_mask)
 
 
 def export_policy_as_pkl(params, meta, out_dir: str,

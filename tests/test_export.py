@@ -124,21 +124,57 @@ def test_stacked_by_term_adapter_matches_ring_buffer(family):
                                atol=1e-5)
 
 
-def test_onnx_export_gates_cleanly(tmp_path):
-    """Without the onnx wheel, ONNX export returns None instead of raising
-    (exporter.py:298-312); with it, it writes a file."""
-    pytest.importorskip("torch")
-    pc = _policy_cfg("cts")
-    model = make_cts_model("cts", 45, 263, 12, pc, 5)
+@pytest.mark.parametrize("family", ["cts", "moe_cts", "moe_ng_cts",
+                                    "mcp_cts", "ac_moe_cts", "dual_moe_cts"])
+def test_onnx_export_matches_torch_mirror(tmp_path, family):
+    """The native ONNX artifact (export/onnx_native.py — serialized without
+    the onnx wheel, reference exporter.py:195-338 interface) must match the
+    TorchScript stacked mirror to 1e-5 when loaded and executed by the
+    in-repo ONNX interpreter."""
+    torch = pytest.importorskip("torch")
+    from go2_rl_gym_tpu.export import onnx_native
+    pc = _policy_cfg(family)
+    model = make_cts_model(family, 45, 263, 12, pc, 5)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 45)),
                         jnp.zeros((1, 263)), jnp.zeros((1, 225)))
-    path = exporter.export_policy_as_onnx(params, "cts", str(tmp_path),
+    path = exporter.export_policy_as_onnx(params, family, str(tmp_path),
                                           obs_no_goal_mask=NO_GOAL)
-    try:
-        import onnx  # noqa: F401
-        assert path is not None and os.path.exists(path)
-    except ImportError:
-        assert path is None
+    assert path is not None and os.path.exists(path)
+    pol = onnx_native.OnnxPolicy(path)
+    stacked = exporter.build_torch_policy_stacked(params, family, 45, 5,
+                                                  NO_GOAL)
+    rng = np.random.RandomState(1)
+    frames = rng.randn(1, 5, 45).astype(np.float32)
+    dims = (3, 3, 3, 12, 12, 12)
+    off = np.cumsum((0,) + dims)
+    x = np.concatenate([frames[:, :, off[t]:off[t + 1]].reshape(1, -1)
+                        for t in range(6)], axis=1)
+    out = pol(x)
+    a_onnx = out[0] if isinstance(out, tuple) else out
+    with torch.no_grad():
+        t_out = stacked(torch.from_numpy(x))
+    a_t = (t_out[0] if isinstance(t_out, tuple) else t_out).numpy()
+    np.testing.assert_allclose(a_onnx, a_t, atol=1e-5)
+
+
+def test_onnx_moe_weights_latent_outputs(tmp_path):
+    """MoE ONNX exports also expose (weights, latent) like the reference
+    (exporter.py:286-300): weights sum to 1, latent is L2-normalized."""
+    pytest.importorskip("torch")
+    from go2_rl_gym_tpu.export import onnx_native
+    pc = _policy_cfg("moe_cts")
+    model = make_cts_model("moe_cts", 45, 263, 12, pc, 5)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 45)),
+                        jnp.zeros((1, 263)), jnp.zeros((1, 225)))
+    path = exporter.export_policy_as_onnx(params, "moe_cts", str(tmp_path),
+                                          obs_no_goal_mask=NO_GOAL)
+    pol = onnx_native.OnnxPolicy(path)
+    assert pol.output_names == ["actions", "weights", "latent"]
+    x = np.random.RandomState(0).randn(1, 225).astype(np.float32)
+    actions, weights, latent = pol(x)
+    assert actions.shape == (1, 12)
+    np.testing.assert_allclose(weights.sum(), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(latent), 1.0, atol=1e-5)
 
 
 def test_lstm_export_matches_jax():
@@ -169,3 +205,35 @@ def test_lstm_export_matches_jax():
         got = scripted(torch.from_numpy(obs).unsqueeze(0))
         np.testing.assert_allclose(got.detach().numpy(), np.asarray(mu),
                                    atol=2e-5)
+
+
+def test_committed_onnx_artifact_matches_reference_ts():
+    """The committed doc/evidence/go2_cts_150k.onnx (generated by
+    export/onnx_native.py from the imported reference checkpoint) must load
+    in the in-repo ONNX runtime and match the reference TorchScript policy
+    to 1e-5 on a random history."""
+    torch = pytest.importorskip("torch")
+    from go2_rl_gym_tpu.export import onnx_native
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    onnx_path = os.path.join(root, "doc", "evidence", "go2_cts_150k.onnx")
+    ref_pt = "/root/reference/deploy/pre_train/go2/go2_cts_150k.pt"
+    if not os.path.exists(onnx_path):
+        pytest.skip("artifact not present")
+    if not os.path.exists(ref_pt):
+        pytest.skip("reference checkpoint not present")
+    pol = onnx_native.OnnxPolicy(onnx_path)
+    ref = torch.jit.load(ref_pt)
+    rng = np.random.RandomState(0)
+    frames = rng.randn(5, 45).astype(np.float32) * 0.5
+    ref.reset()
+    with torch.no_grad():
+        for f in frames:
+            want = ref(torch.from_numpy(f).unsqueeze(0))
+    want = (want[0] if isinstance(want, (tuple, list)) else want).numpy()
+    dims = (3, 3, 3, 12, 12, 12)
+    off = np.cumsum((0,) + dims)
+    x = np.concatenate([frames[None, :, off[t]:off[t + 1]].reshape(1, -1)
+                        for t in range(6)], axis=1)
+    got = pol(x)
+    got = got[0] if isinstance(got, tuple) else got
+    np.testing.assert_allclose(got, want, atol=1e-5)
