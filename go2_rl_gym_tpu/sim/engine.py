@@ -27,7 +27,14 @@ TPU-first design decisions (what makes this fast, vs. a naive port):
   PD-damping folded into the mass-matrix diagonal for stiff-PD stability at
   dt=0.005 (reference sim.dt, legged_robot_config.py:243).
 
-All per-env functions are `vmap`-ed in `make_batched_substep`.
+ROLE: this module is (a) the home of the shared types/terrain utilities
+(SimState, DynParams, SimParams, TerrainData, quad_layout, terrain_height)
+and (b) the N-major REFERENCE ORACLE for the physics. The PRODUCTION substep
+is sim/tengine.py's batch-minor T-layout implementation — the only physics
+the env/runner executes. ``substep``/``make_batched_substep`` here exist for
+tests (tests/test_engine.py, tests/test_tengine.py cross-parity) and offline
+tools (tools/dynamics_parity.py); any solver change must be applied to BOTH
+and is guarded by test_tengine.py::test_physics_step_matches_vmap_engine.
 """
 from __future__ import annotations
 
