@@ -482,7 +482,7 @@ class Go2Env:
                 invert = lim_mask & state.last_is_limit_vel
                 commands = jnp.where(
                     invert[:, None],
-                    commands.at[:, :3].multiply(-1.0)[:, :4],
+                    commands.at[:, :3].multiply(-1.0),
                     commands)
                 change = lim_mask & ~state.last_is_limit_vel
             else:
@@ -520,7 +520,7 @@ class Go2Env:
             ang_cmd = jnp.where(direction < 0.5,
                                 env_ranges[:, 2, 0], env_ranges[:, 2, 1])
             commands = jnp.where(add_ang[:, None],
-                                 commands.at[:, 2].set(ang_cmd)[:, :4], commands)
+                                 commands.at[:, 2].set(ang_cmd), commands)
             if cfg.heading_command:
                 stop_heading = jnp.where(add_ang, True, stop_heading)
 

@@ -198,3 +198,33 @@ def test_standing_with_pd_yields_positive_tracking(plane_env):
     # standing still with zero commands: tracking_lin_vel ~ exp(0) each step
     sums = s.episode_sums["tracking_lin_vel"]
     assert float(sums.mean()) > 0.0
+
+
+def test_per_terrain_command_caps_clip(rough_env):
+    """Curriculum-mode per-terrain-type caps (legged_robot.py:861-907) must
+    clip the late-curriculum global ranges per type: at iteration 60k the
+    global lin_vel_x range is [-2, 2], but stairs/obstacle/gap types cap at
+    [-1, 1] and wave/slope at [-1.5, 1.5] (config terrain_max_command_ranges).
+    Both the computed per-env ranges AND freshly resampled commands must obey
+    the caps."""
+    env = rough_env
+    caps = np.asarray(env.terrain_cmd_caps)          # (n_types, 4, 2)
+    s = env.init_state(jax.random.PRNGKey(7))
+    it = jnp.asarray(60000)
+    ranges = env._command_ranges(it, s.cmd_range_x)
+    assert float(ranges[0, 1]) == 2.0                # global opened up
+    env_ranges = np.asarray(env._env_command_ranges(ranges, s.terrain_ids))
+    tid = np.asarray(s.terrain_ids)
+    # per-env ranges equal min(global, cap) per type
+    np.testing.assert_allclose(env_ranges[:, 0, 1],
+                               np.minimum(2.0, caps[tid, 0, 1]), atol=1e-6)
+    np.testing.assert_allclose(env_ranges[:, 0, 0],
+                               np.maximum(-2.0, caps[tid, 0, 0]), atol=1e-6)
+    # sampled commands at that iteration respect the caps per terrain type
+    s = s._replace(common_step_counter=jnp.asarray(
+        60000 * env.num_steps_per_env, jnp.int32))
+    s2 = env._resample_commands(s, jnp.ones(env.num_envs, bool),
+                                jax.random.PRNGKey(8))
+    cmd = np.asarray(s2.commands)
+    assert (np.abs(cmd[:, 0]) <= caps[tid, 0, 1] + 1e-5).all()
+    assert (np.abs(cmd[:, 1]) <= caps[tid, 1, 1] + 1e-5).all()
