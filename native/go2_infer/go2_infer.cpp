@@ -2,10 +2,12 @@
 //
 // The reference's real-robot loop runs policies through the TorchScript C++
 // runtime (deploy_real_go2.py loads a .pt via libtorch). This shim replaces
-// that native dependency with ~300 lines of C++: it loads the framework's
-// .g2p binary export (see go2_rl_gym_tpu/export/native.py) and serves 50 Hz
-// single-observation inference with the embedded 5-frame history ring buffer,
-// for the CTS and MoE-CTS policy families.
+// that native dependency: it loads either the framework's .g2p binary export
+// (go2_rl_gym_tpu/export/native.py; CTS + MoE-CTS fast paths) or any of the
+// framework's native ONNX artifacts (export/onnx_native.py; ALL SIX policy
+// families via the bundled onnx_runtime.cpp executor — dispatch on the
+// ".onnx" extension) and serves 50 Hz single-observation inference with the
+// embedded 5-frame history ring buffer.
 //
 // C ABI (ctypes-friendly):
 //   void* go2_policy_load(const char* path);
@@ -15,7 +17,8 @@
 //   int   go2_policy_num_actions(void* handle);
 //   void  go2_policy_free(void* handle);
 //
-// Build: g++ -O2 -shared -fPIC -o libgo2_infer.so go2_infer.cpp
+// Build: g++ -O2 -shared -fPIC -o libgo2_infer.so go2_infer.cpp \
+//            onnx_runtime.cpp
 
 #include <cmath>
 #include <cstdint>
@@ -24,7 +27,17 @@
 #include <string>
 #include <vector>
 
+#include "onnx_runtime.h"
+
 namespace {
+
+struct PolicyBase {
+  virtual ~PolicyBase() = default;
+  virtual void reset() = 0;
+  virtual void infer(const float* obs, float* action_out) = 0;
+  virtual int obs_dim() const = 0;
+  virtual int act_dim() const = 0;
+};
 
 constexpr uint32_t kMagic = 0x47325031;  // "G2P1"
 
@@ -85,7 +98,7 @@ void softmax(std::vector<float>& x) {
   for (float& v : x) v /= s;
 }
 
-struct Policy {
+struct Policy : PolicyBase {
   uint32_t family = FAMILY_CTS;
   int num_obs = 45, num_actions = 12, history_length = 5;
   int expert_num = 0, expert_hidden = 0, latent_dim = 0;
@@ -99,7 +112,9 @@ struct Policy {
 
   std::vector<float> history;  // (history_length * num_obs) ring, oldest first
 
-  void reset() { std::fill(history.begin(), history.end(), 0.f); }
+  void reset() override { std::fill(history.begin(), history.end(), 0.f); }
+  int obs_dim() const override { return num_obs; }
+  int act_dim() const override { return num_actions; }
 
   void update_history(const float* obs) {
     std::memmove(history.data(), history.data() + num_obs,
@@ -135,7 +150,7 @@ struct Policy {
     l2norm(latent);
   }
 
-  void infer(const float* obs, float* action_out) {
+  void infer(const float* obs, float* action_out) override {
     update_history(obs);
     std::vector<float> latent;
     latent_from_history(latent);
@@ -176,6 +191,56 @@ bool read_mlp(FILE* f, MLP* mlp) {
   for (uint32_t i = 0; i < n; ++i)
     if (!read_linear(f, &mlp->layers[i])) return false;
   return true;
+}
+
+// ONNX-artifact policy: stateless stacked-by-term graph + a per-frame
+// history ring kept here (interface of export/onnx_native.py, reference
+// exporter.py:238-262 flatten_obs with term dims [3,3,3,12,12,12]).
+struct OnnxPolicy : PolicyBase {
+  go2onnx::Graph* graph = nullptr;
+  int num_obs = 45, num_actions = 12, history_length = 5;
+  static constexpr int kTermDims[6] = {3, 3, 3, 12, 12, 12};
+  std::vector<float> frames;  // (history_length, num_obs), oldest first
+
+  ~OnnxPolicy() override {
+    if (graph) go2onnx::free_graph(graph);
+  }
+  void reset() override { std::fill(frames.begin(), frames.end(), 0.f); }
+  int obs_dim() const override { return num_obs; }
+  int act_dim() const override { return num_actions; }
+
+  void infer(const float* obs, float* action_out) override {
+    std::memmove(frames.data(), frames.data() + num_obs,
+                 sizeof(float) * num_obs * (history_length - 1));
+    std::memcpy(frames.data() + num_obs * (history_length - 1), obs,
+                sizeof(float) * num_obs);
+    // frames (L, obs) -> stacked-by-term (term-major, frame-minor)
+    go2onnx::Tensor in;
+    in.f.resize(frames.size());
+    size_t j = 0;
+    int off = 0;
+    for (int t = 0; t < 6; ++t) {
+      for (int f = 0; f < history_length; ++f)
+        for (int d = 0; d < kTermDims[t]; ++d)
+          in.f[j++] = frames[static_cast<size_t>(f) * num_obs + off + d];
+      off += kTermDims[t];
+    }
+    std::vector<go2onnx::Tensor> outs;
+    if (go2onnx::run_graph(*graph, {&in}, &outs) && !outs.empty())
+      std::memcpy(action_out, outs[0].f.data(),
+                  sizeof(float) * num_actions);
+  }
+};
+constexpr int OnnxPolicy::kTermDims[6];
+
+OnnxPolicy* load_onnx(const char* path) {
+  go2onnx::Graph* g = go2onnx::load_graph_file(path);
+  if (!g) return nullptr;
+  OnnxPolicy* p = new OnnxPolicy();
+  p->graph = g;
+  p->frames.assign(
+      static_cast<size_t>(p->history_length) * p->num_obs, 0.f);
+  return p;
 }
 
 Policy* load(const char* path) {
@@ -222,26 +287,31 @@ Policy* load(const char* path) {
 
 extern "C" {
 
-void* go2_policy_load(const char* path) { return load(path); }
+void* go2_policy_load(const char* path) {
+  std::string p(path ? path : "");
+  if (p.size() > 5 && p.compare(p.size() - 5, 5, ".onnx") == 0)
+    return static_cast<PolicyBase*>(load_onnx(path));
+  return static_cast<PolicyBase*>(load(path));
+}
 
 void go2_policy_reset(void* handle) {
-  if (handle) static_cast<Policy*>(handle)->reset();
+  if (handle) static_cast<PolicyBase*>(handle)->reset();
 }
 
 int go2_policy_infer(void* handle, const float* obs, float* action_out) {
   if (!handle) return -1;
-  static_cast<Policy*>(handle)->infer(obs, action_out);
+  static_cast<PolicyBase*>(handle)->infer(obs, action_out);
   return 0;
 }
 
 int go2_policy_num_obs(void* handle) {
-  return handle ? static_cast<Policy*>(handle)->num_obs : -1;
+  return handle ? static_cast<PolicyBase*>(handle)->obs_dim() : -1;
 }
 
 int go2_policy_num_actions(void* handle) {
-  return handle ? static_cast<Policy*>(handle)->num_actions : -1;
+  return handle ? static_cast<PolicyBase*>(handle)->act_dim() : -1;
 }
 
-void go2_policy_free(void* handle) { delete static_cast<Policy*>(handle); }
+void go2_policy_free(void* handle) { delete static_cast<PolicyBase*>(handle); }
 
 }  // extern "C"
