@@ -298,50 +298,72 @@ class OnPolicyRunner:
         start_iter = self.current_iteration
         tot_iter = start_iter + num_iterations
 
+        # Async dispatch: iterations are queued on the device without a
+        # host sync; metrics are fetched and processed in batches at log /
+        # save / print boundaries. Blocking every iteration costs ~15%
+        # wall-clock through the remote-TPU relay (345k vs 405k steps/s).
+        pending = []          # [(it, metrics_dict_of_device_arrays)]
+        t_window = time.time()
+
+        def _drain(dt_iter):
+            for pit, pmetrics in pending:
+                ep = np.asarray(pmetrics.pop("ep_stats"))
+                if self.is_cts:
+                    if ep[2] > 0:
+                        rewbuffer.append(ep[0] / ep[2])
+                        lenbuffer.append(ep[1] / ep[2])
+                    if ep[5] > 0:
+                        srewbuffer.append(ep[3] / ep[5])
+                        slenbuffer.append(ep[4] / ep[5])
+                elif ep[2] > 0:
+                    rewbuffer.append(ep[0] / ep[2])
+                    lenbuffer.append(ep[1] / ep[2])
+                if self.writer and (pit % log_every == 0
+                                    or pit == tot_iter - 1):
+                    self._log(pit, pmetrics, dt_iter, rewbuffer, lenbuffer,
+                              srewbuffer, slenbuffer)
+                if pit % print_every == 0:
+                    fps = int(self.num_steps * self.env.num_envs / dt_iter)
+                    mr = np.mean(rewbuffer) if rewbuffer else float("nan")
+                    print(
+                        f"it {pit}/{tot_iter} | {fps} steps/s | "
+                        f"mean_rew {mr:.3f} | "
+                        f"vloss {float(pmetrics.get('value_loss', 0)):.4f} | "
+                        f"surr "
+                        f"{float(pmetrics.get('surrogate_loss', 0)):.4f}",
+                        flush=True)
+            pending.clear()
+
         for it in range(start_iter, tot_iter):
-            t0 = time.time()
             rs, metrics = self._train_step(rs)
-            jax.block_until_ready(rs.train_state)
-            dt_iter = time.time() - t0
-            self.tot_time += dt_iter
+            pending.append((it, metrics))
             self.tot_timesteps += self.num_steps * self.env.num_envs
             self.current_iteration = it + 1
 
-            ep = np.asarray(metrics.pop("ep_stats"))
-            if self.is_cts:
-                if ep[2] > 0:
-                    rewbuffer.append(ep[0] / ep[2])
-                    lenbuffer.append(ep[1] / ep[2])
-                if ep[5] > 0:
-                    srewbuffer.append(ep[3] / ep[5])
-                    slenbuffer.append(ep[4] / ep[5])
-            else:
-                if ep[2] > 0:
-                    rewbuffer.append(ep[0] / ep[2])
-                    lenbuffer.append(ep[1] / ep[2])
-
-            if self.writer and (it % log_every == 0 or it == tot_iter - 1):
-                self._log(it, metrics, dt_iter, rewbuffer, lenbuffer,
-                          srewbuffer, slenbuffer)
-            if (self.log_dir and self.save_interval
-                    and it % self.save_interval == 0):
+            need_save = (self.log_dir and self.save_interval
+                         and it % self.save_interval == 0)
+            need_eval = (self.evaluator is not None and self.is_cts
+                         and it % self.eval_interval == 0)
+            flush = (it % log_every == log_every - 1 or it == tot_iter - 1
+                     or need_save or need_eval)
+            if flush:
+                jax.block_until_ready(rs.train_state)
+                now = time.time()
+                dt_iter = (now - t_window) / len(pending)
+                self.tot_time += now - t_window
+                t_window = now
+                _drain(dt_iter)
+            if need_save:
                 self.save(rs, os.path.join(self.log_dir, f"model_{it}"))
-            if (self.evaluator is not None and self.is_cts
-                    and it % self.eval_interval == 0):
+            if need_eval:
                 self._submit_eval(rs, it)
-            if self.evaluator is not None and self.writer:
+            if flush and self.evaluator is not None and self.writer:
                 for eit, scores in self.evaluator.poll().items():
                     for k, v in scores.items():
                         if isinstance(v, (int, float)):
                             self.writer.add_scalar(f"Eval/{k}", v, eit)
-            if it % print_every == 0:
-                fps = int(self.num_steps * self.env.num_envs / dt_iter)
-                mr = np.mean(rewbuffer) if rewbuffer else float("nan")
-                print(f"it {it}/{tot_iter} | {fps} steps/s | "
-                      f"mean_rew {mr:.3f} | "
-                      f"vloss {float(metrics.get('value_loss', 0)):.4f} | "
-                      f"surr {float(metrics.get('surrogate_loss', 0)):.4f}",
-                      flush=True)
+            if need_save or need_eval:
+                t_window = time.time()   # exclude save/eval from timing
         if self.log_dir:
             self.save(rs, os.path.join(self.log_dir,
                                        f"model_{self.current_iteration}"))
