@@ -62,10 +62,21 @@ def test_learn_loop_smoke(tmp_path):
     env = tiny_env()
     runner = OnPolicyRunner(env, tc, log_dir=str(tmp_path))
     rs = runner.init_runner_state(jax.random.PRNGKey(0))
-    rs = runner.learn(rs, 3, log_every=1, print_every=10)
+    rs = runner.learn(rs, 5, log_every=2, print_every=10)
     assert os.path.exists(os.path.join(str(tmp_path), "metrics.jsonl"))
     assert os.path.exists(os.path.join(str(tmp_path), "config.yaml"))
     assert any(d.startswith("model_") for d in os.listdir(str(tmp_path)))
+    # async-drain cadence: metrics land for exactly the iterations the
+    # pre-async runner logged (it % log_every == 0, plus the final it)
+    import json
+    steps = sorted({json.loads(l)["step"]
+                    for l in open(os.path.join(str(tmp_path),
+                                               "metrics.jsonl"))})
+    assert steps == [0, 2, 4], steps
+    # checkpoints at save_interval multiples plus the final model
+    saves = sorted(int(d.split("_")[1]) for d in os.listdir(str(tmp_path))
+                   if d.startswith("model_"))
+    assert saves == [0, 2, 4, 5], saves
 
 
 @pytest.mark.parametrize("make_cfg", [go2_ppo_train_cfg, go2_cts_train_cfg])
