@@ -706,6 +706,12 @@ class Go2Env:
 
     def step(self, state: EnvState, actions: jax.Array):
         """One policy step (reference legged_robot.py:60-100 + §3.2)."""
+        # trace-time shape/dtype guards (SURVEY §5 sanitizers; free under jit)
+        import chex
+        chex.assert_shape(actions, (self.num_envs, self.num_actions))
+        chex.assert_type(actions, float)
+        chex.assert_shape(state.sim.q, (self.num_envs, self.num_actions))
+        chex.assert_shape(state.commands, (self.num_envs, 4))
         cfg = self.cfg
         N = self.num_envs
         key = state.key

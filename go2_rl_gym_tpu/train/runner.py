@@ -177,6 +177,12 @@ class OnPolicyRunner:
         is_recurrent = self.is_recurrent
 
         def train_step(rs: RunnerState):
+            # trace-time shape guards (free under jit)
+            import chex
+            chex.assert_shape(rs.obs, (env.num_envs, env.num_obs))
+            chex.assert_shape(rs.history,
+                              (env.num_envs, self.history_length,
+                               env.num_obs))
             nonlocal_train = rs.train_state
             mem0 = rs.memory          # rollout-start RNN state for the replay
 
