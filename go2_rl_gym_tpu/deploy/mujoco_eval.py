@@ -78,8 +78,10 @@ def load_scene_model(name: str):
             f = tex.get("file")
             if (f and not os.path.exists(os.path.join(scene_dir, texdir, f))
                     and not os.path.exists(os.path.join(scene_dir, f))):
-                missing.add("texture:" + (tex.get("name")
-                                          or os.path.splitext(f)[0]))
+                # MuJoCo auto-names file assets by basename sans extension
+                missing.add("texture:" + (
+                    tex.get("name")
+                    or os.path.splitext(os.path.basename(f))[0]))
         return missing
 
     missing = set()
@@ -104,7 +106,7 @@ def load_scene_model(name: str):
                     parent.remove(child)
                 elif child.tag == "texture":
                     nm = "texture:" + (child.get("name") or os.path.splitext(
-                        child.get("file", ""))[0])
+                        os.path.basename(child.get("file", "")))[0])
                     if nm in missing:
                         parent.remove(child)
                 elif (child.tag == "material"

@@ -77,12 +77,12 @@ def export_policy_as_native(params, family: str, out_dir: str,
 
 def build_library(force: bool = False) -> str:
     """Compile the C++ shim (g++, baked into the image)."""
-    onnx_src_m = os.path.getmtime(
-        os.path.join(os.path.dirname(_SRC), "onnx_runtime.cpp"))
-    if os.path.exists(_SO) and not force and (
-            os.path.getmtime(_SO) >= max(os.path.getmtime(_SRC), onnx_src_m)):
-        return _SO
     onnx_src = os.path.join(os.path.dirname(_SRC), "onnx_runtime.cpp")
+    onnx_hdr = os.path.join(os.path.dirname(_SRC), "onnx_runtime.h")
+    newest_src = max(os.path.getmtime(f) for f in (_SRC, onnx_src, onnx_hdr))
+    if os.path.exists(_SO) and not force and (
+            os.path.getmtime(_SO) >= newest_src):
+        return _SO
     subprocess.run(["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
                     "-o", _SO, _SRC, onnx_src], check=True)
     return _SO

@@ -296,6 +296,11 @@ def build_policy_onnx(params, family: str, num_obs: int = 45,
     Input: ``obs_history`` (1, history_length*num_obs), stacked by term.
     Outputs: ``actions`` (1, 12) [+ ``weights`` (1, E), ``latent`` (1, 32)].
     """
+    if sum(term_dims) != num_obs:
+        raise ValueError(
+            f"term_dims {term_dims} sum to {sum(term_dims)} != num_obs "
+            f"{num_obs}; pass term_dims matching the obs layout "
+            "(reference exporter.py:239 hardcodes [3,3,3,A,A,A])")
     p = params["params"]
     g = OnnxGraph(f"go2_{family}")
     L = history_length

@@ -34,7 +34,8 @@ namespace {
 struct PolicyBase {
   virtual ~PolicyBase() = default;
   virtual void reset() = 0;
-  virtual void infer(const float* obs, float* action_out) = 0;
+  // returns 0 on success, nonzero on execution failure
+  virtual int infer(const float* obs, float* action_out) = 0;
   virtual int obs_dim() const = 0;
   virtual int act_dim() const = 0;
 };
@@ -150,7 +151,7 @@ struct Policy : PolicyBase {
     l2norm(latent);
   }
 
-  void infer(const float* obs, float* action_out) override {
+  int infer(const float* obs, float* action_out) override {
     update_history(obs);
     std::vector<float> latent;
     latent_from_history(latent);
@@ -160,6 +161,7 @@ struct Policy : PolicyBase {
     std::vector<float> act;
     actor.apply(x, act);
     std::memcpy(action_out, act.data(), sizeof(float) * num_actions);
+    return 0;
   }
 };
 
@@ -209,7 +211,7 @@ struct OnnxPolicy : PolicyBase {
   int obs_dim() const override { return num_obs; }
   int act_dim() const override { return num_actions; }
 
-  void infer(const float* obs, float* action_out) override {
+  int infer(const float* obs, float* action_out) override {
     std::memmove(frames.data(), frames.data() + num_obs,
                  sizeof(float) * num_obs * (history_length - 1));
     std::memcpy(frames.data() + num_obs * (history_length - 1), obs,
@@ -226,9 +228,11 @@ struct OnnxPolicy : PolicyBase {
       off += kTermDims[t];
     }
     std::vector<go2onnx::Tensor> outs;
-    if (go2onnx::run_graph(*graph, {&in}, &outs) && !outs.empty())
-      std::memcpy(action_out, outs[0].f.data(),
-                  sizeof(float) * num_actions);
+    if (!go2onnx::run_graph(*graph, {&in}, &outs) || outs.empty() ||
+        outs[0].f.size() < static_cast<size_t>(num_actions))
+      return -2;  // execution failure must not read as success upstream
+    std::memcpy(action_out, outs[0].f.data(), sizeof(float) * num_actions);
+    return 0;
   }
 };
 constexpr int OnnxPolicy::kTermDims[6];
@@ -238,8 +242,16 @@ OnnxPolicy* load_onnx(const char* path) {
   if (!g) return nullptr;
   OnnxPolicy* p = new OnnxPolicy();
   p->graph = g;
-  p->frames.assign(
-      static_cast<size_t>(p->history_length) * p->num_obs, 0.f);
+  // this wrapper only supports the Go2 layout (45-dim obs, 5-frame
+  // history, term dims [3,3,3,12,12,12]); refuse mismatched artifacts at
+  // load instead of reading out of bounds at 50 Hz
+  size_t want = static_cast<size_t>(p->history_length) * p->num_obs;
+  size_t declared = go2onnx::input_width(*g);
+  if (declared != 0 && declared != want) {
+    delete p;
+    return nullptr;
+  }
+  p->frames.assign(want, 0.f);
   return p;
 }
 
@@ -300,8 +312,7 @@ void go2_policy_reset(void* handle) {
 
 int go2_policy_infer(void* handle, const float* obs, float* action_out) {
   if (!handle) return -1;
-  static_cast<PolicyBase*>(handle)->infer(obs, action_out);
-  return 0;
+  return static_cast<PolicyBase*>(handle)->infer(obs, action_out);
 }
 
 int go2_policy_num_obs(void* handle) {

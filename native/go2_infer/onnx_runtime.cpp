@@ -16,6 +16,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstring>
+#include <deque>
 #include <fstream>
 #include <map>
 
@@ -137,6 +138,7 @@ struct Graph {
   std::map<std::string, Tensor> inits;
   std::vector<Node> nodes;
   std::vector<std::string> input_names, output_names;
+  std::vector<size_t> input_widths;  // parallel to input_names (0 = unknown)
 };
 
 static bool load_graph_impl(const std::string& path, Graph* g);
@@ -152,6 +154,9 @@ Graph* load_graph_file(const std::string& path) {
 void free_graph(Graph* g) { delete g; }
 size_t num_inputs(const Graph& g) { return g.input_names.size(); }
 size_t num_outputs(const Graph& g) { return g.output_names.size(); }
+size_t input_width(const Graph& g) {
+  return g.input_widths.empty() ? 0 : g.input_widths[0];
+}
 
 // TensorProto fields: dims=1, data_type=2, name=8, raw_data=9
 static bool parse_tensor(Slice s, std::string* name, Tensor* t) {
@@ -204,12 +209,45 @@ static bool parse_node(Slice s, Node* n) {
   return true;
 }
 
-// ValueInfoProto: name=1
-static std::string value_info_name(Slice s) {
+// ValueInfoProto: name=1, type=2 (TypeProto: tensor_type=1 ->
+// TensorShapeProto shape=2 -> Dimension dim=1 -> dim_value=1)
+static std::string value_info_name(Slice s, size_t* width = nullptr) {
   Msg m;
   if (!parse_msg(s, &m)) return "";
   Slice nm;
   if (!m.first_sub(1, &nm)) return "";
+  if (width) {
+    *width = 0;
+    Slice tp, tt, sh;
+    if (m.first_sub(2, &tp)) {
+      Msg mt;
+      if (parse_msg(tp, &mt) && mt.first_sub(1, &tt)) {
+        Msg mtt;
+        if (parse_msg(tt, &mtt) && mtt.first_sub(2, &sh)) {
+          Msg ms;
+          if (parse_msg(sh, &ms)) {
+            size_t w = 1;
+            bool any = false;
+            bool first = true;
+            for (const Slice& d : ms.get_subs(1)) {
+              Msg md;
+              if (!parse_msg(d, &md)) continue;
+              uint64_t dv = md.first_int(1, 0);
+              if (first) {  // batch dim
+                first = false;
+                continue;
+              }
+              if (dv) {
+                w *= static_cast<size_t>(dv);
+                any = true;
+              }
+            }
+            if (any) *width = w;
+          }
+        }
+      }
+    }
+  }
   return sub_str(nm);
 }
 
@@ -237,8 +275,11 @@ static bool load_graph_impl(const std::string& path, Graph* g) {
     if (!parse_node(s, &n)) return false;
     g->nodes.push_back(std::move(n));
   }
-  for (const Slice& s : gm.get_subs(11))
-    g->input_names.push_back(value_info_name(s));
+  for (const Slice& s : gm.get_subs(11)) {
+    size_t w = 0;
+    g->input_names.push_back(value_info_name(s, &w));
+    g->input_widths.push_back(w);
+  }
   for (const Slice& s : gm.get_subs(12))
     g->output_names.push_back(value_info_name(s));
   return !g->input_names.empty() && !g->output_names.empty();
@@ -261,16 +302,20 @@ static void broadcast_binop(const Tensor& a, const Tensor& b, Tensor* y,
 
 bool run_graph(const Graph& g, const std::vector<const Tensor*>& inputs,
                std::vector<Tensor>* outputs) {
-  std::map<std::string, Tensor> env(g.inits.begin(), g.inits.end());
+  // no weight copies: initializers are referenced in place; produced
+  // tensors live in a stable deque so pointers stay valid
+  std::map<std::string, const Tensor*> env;
+  for (const auto& kv : g.inits) env[kv.first] = &kv.second;
   for (size_t i = 0; i < g.input_names.size() && i < inputs.size(); ++i)
-    env[g.input_names[i]] = *inputs[i];
+    env[g.input_names[i]] = inputs[i];
+  std::deque<Tensor> storage;
 
   for (const Node& n : g.nodes) {
     std::vector<const Tensor*> x;
     for (const std::string& in : n.inputs) {
       auto it = env.find(in);
       if (it == env.end()) return false;
-      x.push_back(&it->second);
+      x.push_back(it->second);
     }
     Tensor y;
     const std::string& op = n.op;
@@ -353,14 +398,17 @@ bool run_graph(const Graph& g, const std::vector<const Tensor*>& inputs,
     } else {
       return false;  // unsupported op
     }
-    if (!n.outputs.empty()) env[n.outputs[0]] = std::move(y);
+    if (!n.outputs.empty()) {
+      storage.push_back(std::move(y));
+      env[n.outputs[0]] = &storage.back();
+    }
   }
 
   outputs->clear();
   for (const std::string& out : g.output_names) {
     auto it = env.find(out);
     if (it == env.end()) return false;
-    outputs->push_back(it->second);
+    outputs->push_back(*it->second);
   }
   return true;
 }

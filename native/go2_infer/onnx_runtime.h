@@ -24,6 +24,9 @@ void free_graph(Graph* g);
 // (0 if unknown).
 size_t num_inputs(const Graph& g);
 size_t num_outputs(const Graph& g);
+// Declared width (product of dims beyond the batch dim) of graph input 0;
+// 0 if the model omits shape info.
+size_t input_width(const Graph& g);
 
 bool run_graph(const Graph& g, const std::vector<const Tensor*>& inputs,
                std::vector<Tensor>* outputs);

@@ -99,15 +99,16 @@ def probe(env, policy, steps=200, label=""):
     if ep_lens:
         print(f"  episode length: mean {np.mean(ep_lens):.1f} "
               f"median {np.median(ep_lens):.0f} max {np.max(ep_lens)}")
-    print(f"  base height (m): t=5 {base_h_hist[5].mean():.3f}, "
-          f"t=20 {base_h_hist[20].mean():.3f}, "
-          f"t=50 {base_h_hist[50].mean():.3f}, "
-          f"t=199 {base_h_hist[-1].mean():.3f}")
+    marks = [t for t in (5, 20, 50, steps - 1) if t < steps]
+    print("  base height (m): " + ", ".join(
+        f"t={t} {base_h_hist[t].mean():.3f}" for t in marks))
     print(f"  base |F|: mean {base_f_hist.mean():.2f} N, "
           f"p99 {np.percentile(base_f_hist, 99):.2f} N, "
           f"max {base_f_hist.max():.2f} N, "
           f"frac>1N {(base_f_hist > 1.0).mean():.4f}")
-    print(f"  min foot z rel terrain-ish: t=20 {min_feet_h[20].mean():.3f}")
+    t_mid = min(20, steps - 1)
+    print(f"  min foot z rel terrain-ish: t={t_mid} "
+          f"{min_feet_h[t_mid].mean():.3f}")
     return term_counts
 
 
