@@ -460,6 +460,10 @@ class OnPolicyRunner:
         import orbax.checkpoint as ocp
         ckptr = ocp.PyTreeCheckpointer()
         path = os.path.abspath(path)
+        if not os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA")):
+            raise FileNotFoundError(
+                f"no complete checkpoint at {path} (missing "
+                "_CHECKPOINT_METADATA — wrong path, or a save in progress)")
         # restore as plain numpy: the stored shardings name the devices of
         # the SAVING process (e.g. a TPU) and fail to resolve anywhere else
         meta = ckptr.metadata(path)
