@@ -309,6 +309,9 @@ class OnPolicyRunner:
         # save / print boundaries. Blocking every iteration costs ~15%
         # wall-clock through the remote-TPU relay (345k vs 405k steps/s).
         pending = []          # [(it, metrics_dict_of_device_arrays)]
+        # GO2_SYNC_TRAIN=1 restores per-iteration blocking (A/B instrument
+        # for relay-pipelining pathologies)
+        sync_mode = os.environ.get("GO2_SYNC_TRAIN", "") == "1"
         t_window = time.time()
 
         def _drain(dt_iter):
@@ -350,8 +353,8 @@ class OnPolicyRunner:
                          and it % self.save_interval == 0)
             need_eval = (self.evaluator is not None and self.is_cts
                          and it % self.eval_interval == 0)
-            flush = (it % log_every == log_every - 1 or it == tot_iter - 1
-                     or need_save or need_eval)
+            flush = (sync_mode or it % log_every == log_every - 1
+                     or it == tot_iter - 1 or need_save or need_eval)
             if flush:
                 jax.block_until_ready(rs.train_state)
                 now = time.time()
