@@ -12,7 +12,9 @@ cd "$(dirname "$0")/.."
 EXP_DIR="logs/$TASK"
 
 latest_ckpt_iter() {
-  ls -d $EXP_DIR/*/model_* 2>/dev/null | sed 's/.*model_//' | sort -n | tail -1
+  # completed checkpoints only (skip orbax .orbax-checkpoint-tmp dirs)
+  ls -d $EXP_DIR/*/model_* 2>/dev/null | grep -E 'model_[0-9]+$' \
+    | sed 's/.*model_//' | sort -n | tail -1
 }
 
 while true; do
