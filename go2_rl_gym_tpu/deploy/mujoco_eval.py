@@ -313,10 +313,20 @@ def run_episode(policy: Callable, scene: str = "flat",
     }
 
 
+# the original 4-command sweep (kept as the prefix of EXTENDED_COMMANDS so
+# r4 rows stay comparable) plus 8 more covering reverse/lateral/diagonal/yaw
+# combinations across the command range — episodes are deterministic given
+# (policy, scene, command), so sweep breadth IS the sample size
+BASE_COMMANDS = ((1.0, 0.0, 0.0), (-0.5, 0.0, 0.0),
+                 (0.5, 0.3, 0.0), (0.0, 0.0, 1.0))
+EXTENDED_COMMANDS = BASE_COMMANDS + (
+    (0.5, 0.0, 0.0), (1.2, 0.0, 0.0), (-0.8, 0.0, 0.0), (0.0, 0.0, -1.0),
+    (0.8, -0.3, 0.0), (1.0, 0.0, 0.5), (0.3, 0.0, -0.8), (0.6, 0.4, 0.5))
+
+
 def evaluate_policy(policy_factory: Callable[[], Callable],
                     scenes=("flat",),
-                    commands=((1.0, 0.0, 0.0), (-0.5, 0.0, 0.0),
-                              (0.5, 0.3, 0.0), (0.0, 0.0, 1.0)),
+                    commands=BASE_COMMANDS,
                     duration_s: float = 8.0) -> Dict[str, float]:
     """Command/scene sweep -> aggregate + per-scene scores.
 

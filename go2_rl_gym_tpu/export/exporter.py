@@ -345,8 +345,8 @@ def export_policy_as_onnx(params, family: str, out_dir: str,
 
     Uses the in-repo serializer (export/onnx_native.py) — no ``onnx`` wheel
     needed — and emits the reference's stacked-by-term stateless interface
-    (input ``obs_history`` (1, L*num_obs), outputs actions[, weights,
-    latent])."""
+    (input ``obs``: (1, num_obs) for ppo, (1, L*num_obs) otherwise; outputs
+    actions[, weights[, latent]] per family — exporter.py:317-338)."""
     from go2_rl_gym_tpu.export import onnx_native
     return onnx_native.export_policy_as_onnx_native(
         params, family, out_dir, filename, num_obs, history_length,

@@ -293,8 +293,13 @@ def build_policy_onnx(params, family: str, num_obs: int = 45,
                       term_dims=(3, 3, 3, 12, 12, 12)) -> bytes:
     """Serialize the deploy-time forward of ``family`` to ONNX bytes.
 
-    Input: ``obs_history`` (1, history_length*num_obs), stacked by term.
-    Outputs: ``actions`` (1, 12) [+ ``weights`` (1, E), ``latent`` (1, 32)].
+    Interface matches the reference exporter (exporter.py:195-338, ADVICE
+    r4): input is named ``obs`` — (1, num_obs) for ppo (forward_ppo consumes
+    the current observation only, input_dim = actor in_features), else
+    (1, history_length*num_obs) stacked by term. Outputs: ``actions``
+    (1, 12); moe families add ``weights`` (1, E) and ``latent`` (1, 32)
+    (forward_moe_no_goal_cts returns all three); mcp adds ``weights`` only
+    (forward_mcp_cts returns actions+weights); cts/ppo emit actions only.
     """
     if sum(term_dims) != num_obs:
         raise ValueError(
@@ -303,14 +308,14 @@ def build_policy_onnx(params, family: str, num_obs: int = 45,
             "(reference exporter.py:239 hardcodes [3,3,3,A,A,A])")
     p = params["params"]
     g = OnnxGraph(f"go2_{family}")
-    L = history_length
+    L = 1 if family == "ppo" else history_length
     in_dim = L * num_obs
-    g.add_input("obs_history", (1, in_dim))
+    g.add_input("obs", (1, in_dim))
 
     perm = flatten_obs_permutation(L, term_dims)
-    hist = g.gather_cols("obs_history", perm, hint="hist")   # by-frame
+    hist = g.gather_cols("obs", perm, hint="hist")   # by-frame
     obs = g.gather_cols(hist, np.arange((L - 1) * num_obs, L * num_obs),
-                        hint="obs")
+                        hint="obs_last")
 
     weights = latent = None
     E = None
@@ -385,7 +390,9 @@ def build_policy_onnx(params, family: str, num_obs: int = 45,
         g.rename(weights, "weights")
         # E differs per family; shape is advisory in ONNX
         g.add_output("weights", (1, 8))
-    if latent is not None:
+    # latent is exported by the moe families only (reference
+    # forward_moe_*_cts return it; forward_cts and forward_mcp_cts do not)
+    if latent is not None and family not in ("cts", "mcp_cts"):
         g.rename(latent, "latent")
         g.add_output("latent", (1, 32))
     return g.serialize()

@@ -66,13 +66,19 @@ class SimParams(NamedTuple):
     armature: float = 1e-3
     joint_limit_stiffness: float = 300.0
     joint_limit_damping: float = 2.0
-    # PhysX-style velocity clamps (reference asset cfg max_angular_velocity /
-    # max_linear_velocity = 1000, legged_robot_config.py:131-132; PhysX's
-    # default maxJointVelocity ~ 100). These bound any numerical blowup so a
-    # single pathological env cannot poison the batch with inf/NaN.
-    max_linear_velocity: float = 1000.0
-    max_angular_velocity: float = 1000.0
-    max_joint_velocity: float = 100.0
+    # Velocity clamps at PHYSICAL bounds, not the reference's nominal 1000
+    # (legged_robot_config.py:131-132). PhysX never reaches its clamps because
+    # its TGS solver is contractive; our Jacobi solver can transiently diverge
+    # on clustered stair-edge contacts, and with 1000 m/s headroom a single
+    # such event produced foot velocities of O(100 m/s) -> feet_regulation
+    # rewards of O(1e3) -> the value-loss spikes (1e2-9e3) seen in the r4
+    # flagship run. PhysX enforces the URDF per-joint maxVelocity (go2.urdf:
+    # 30.1 hips/thighs, 20.07 calves) and real dynamics keep the base under
+    # a few m/s, so these bounds are never active in normal locomotion —
+    # they only cut the unphysical tail of solver-divergence events.
+    max_linear_velocity: float = 25.0
+    max_angular_velocity: float = 50.0
+    max_joint_velocity: float = 30.1
 
 
 class SimState(NamedTuple):

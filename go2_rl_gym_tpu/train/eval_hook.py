@@ -19,7 +19,9 @@ from typing import Dict, List, Optional
 
 
 class AsyncEvaluator:
-    def __init__(self, log_dir: str, scenes=("flat",), duration_s: float = 8.0,
+    def __init__(self, log_dir: str,
+                 scenes=("flat", "stairs", "cross_slope"),
+                 duration_s: float = 8.0,
                  python: Optional[str] = None):
         self.log_dir = log_dir
         self.results_dir = os.path.join(log_dir, "eval_results")

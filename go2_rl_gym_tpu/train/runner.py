@@ -50,7 +50,7 @@ class OnPolicyRunner:
 
     def __init__(self, env: Go2Env, train_cfg: TrainCfg,
                  log_dir: Optional[str] = None, eval_interval: int = 0,
-                 eval_scenes=("flat",)):
+                 eval_scenes=("flat", "stairs", "cross_slope")):
         self.env = env
         self.cfg = train_cfg
         self.log_dir = log_dir
@@ -95,6 +95,7 @@ class OnPolicyRunner:
                     "env_cfg": dataclasses.asdict(env.cfg),
                 }, f)
         self.mesh = None
+        self._in_shardings = None
         self._train_step = jax.jit(self._build_train_step())
 
     def attach_mesh(self, rs: Optional[RunnerState] = None,
@@ -112,6 +113,7 @@ class OnPolicyRunner:
         if rs is not None:
             rs = mesh_lib.shard_runner_state(self.mesh, rs)
             in_sh = mesh_lib.runner_shardings(self.mesh, rs)
+            self._in_shardings = in_sh
             self._train_step = jax.jit(self._build_train_step(),
                                        in_shardings=(in_sh,))
         return rs
@@ -161,6 +163,7 @@ class OnPolicyRunner:
         out_sh = mesh_lib.runner_shardings(
             self.mesh, jax.eval_shape(_init, key))
         rs = jax.jit(_init, out_shardings=out_sh)(key)
+        self._in_shardings = out_sh
         self._train_step = jax.jit(self._build_train_step(),
                                    in_shardings=(out_sh,))
         return rs
@@ -295,6 +298,42 @@ class OnPolicyRunner:
 
     # ------------------------------------------------------------------
 
+    def _jit_train_chunk(self, chunk: int):
+        """jit(lax.scan of `chunk` train steps) with the per-iteration metric
+        dicts flattened into ONE (chunk, T) f32 array.
+
+        Through the remote-TPU relay, each dispatch and each scalar fetch is
+        a round trip; the per-iteration loop paid ~40 tiny fetches + 1
+        dispatch per iteration and sustained 280-350k env-steps/s against a
+        405k bench (BENCH_r04 methodology: K iterations fused in one
+        dispatch). Fusing the host loop the same way — one dispatch + one
+        buffer fetch per `chunk` iterations — closes that gap.
+
+        Returns (fn, meta) where meta is filled at first trace with the
+        metric names/sizes used to unflatten rows on the host."""
+        step = self._build_train_step()
+        meta = {}
+
+        def chunk_fn(rs):
+            def body(r, _):
+                r, m = step(r)
+                keys = sorted(m)
+                if not meta:
+                    meta["keys"] = keys
+                    meta["sizes"] = [int(np.prod(m[k].shape)) if m[k].shape
+                                     else 1 for k in keys]
+                vec = jnp.concatenate(
+                    [jnp.asarray(m[k], jnp.float32).reshape(-1)
+                     for k in keys])
+                return r, vec
+            return jax.lax.scan(body, rs, None, length=chunk)
+
+        if self._in_shardings is not None:
+            fn = jax.jit(chunk_fn, in_shardings=(self._in_shardings,))
+        else:
+            fn = jax.jit(chunk_fn)
+        return fn, meta
+
     def learn(self, rs: RunnerState, num_iterations: int,
               log_every: int = 10, print_every: int = 50) -> RunnerState:
         rewbuffer = deque(maxlen=100)
@@ -304,19 +343,36 @@ class OnPolicyRunner:
         start_iter = self.current_iteration
         tot_iter = start_iter + num_iterations
 
-        # Async dispatch: iterations are queued on the device without a
-        # host sync; metrics are fetched and processed in batches at log /
-        # save / print boundaries. Blocking every iteration costs ~15%
-        # wall-clock through the remote-TPU relay (345k vs 405k steps/s).
-        pending = []          # [(it, metrics_dict_of_device_arrays)]
-        # GO2_SYNC_TRAIN=1 restores per-iteration blocking (A/B instrument
-        # for relay-pipelining pathologies)
+        # GO2_SYNC_TRAIN=1 restores per-iteration dispatch + blocking (A/B
+        # instrument for relay-pipelining pathologies)
         sync_mode = os.environ.get("GO2_SYNC_TRAIN", "") == "1"
+        chunk = 1 if sync_mode else max(1, min(log_every, num_iterations))
+        chunk_fns = {}            # length -> (jitted scan, meta)
+
+        def run_chunk(r, c):
+            if c not in chunk_fns:
+                chunk_fns[c] = self._jit_train_chunk(c)
+            return chunk_fns[c][0](r), chunk_fns[c][1]
+
         t_window = time.time()
 
-        def _drain(dt_iter):
-            for pit, pmetrics in pending:
-                ep = np.asarray(pmetrics.pop("ep_stats"))
+        def _process(first_it, c, mat_dev, meta):
+            """Fetch one chunk's stacked metrics (single buffer) and run the
+            per-iteration stats/log/print bookkeeping."""
+            nonlocal t_window
+            mat = np.asarray(jax.device_get(mat_dev))      # (c, T)
+            now = time.time()
+            dt_iter = (now - t_window) / c
+            self.tot_time += now - t_window
+            t_window = now
+            offs = np.cumsum([0] + meta["sizes"])
+            for j in range(c):
+                pit = first_it + j
+                row = mat[j]
+                pmetrics = {k: row[offs[i]] if meta["sizes"][i] == 1
+                            else row[offs[i]:offs[i + 1]]
+                            for i, k in enumerate(meta["keys"])}
+                ep = pmetrics.pop("ep_stats")
                 if self.is_cts:
                     if ep[2] > 0:
                         rewbuffer.append(ep[0] / ep[2])
@@ -329,8 +385,8 @@ class OnPolicyRunner:
                     lenbuffer.append(ep[1] / ep[2])
                 if self.writer and (pit % log_every == 0
                                     or pit == tot_iter - 1):
-                    self._log(pit, pmetrics, dt_iter, rewbuffer, lenbuffer,
-                              srewbuffer, slenbuffer)
+                    self._log(pit, dict(pmetrics), dt_iter, rewbuffer,
+                              lenbuffer, srewbuffer, slenbuffer)
                 if pit % print_every == 0:
                     fps = int(self.num_steps * self.env.num_envs / dt_iter)
                     mr = np.mean(rewbuffer) if rewbuffer else float("nan")
@@ -341,38 +397,56 @@ class OnPolicyRunner:
                         f"surr "
                         f"{float(pmetrics.get('surrogate_loss', 0)):.4f}",
                         flush=True)
-            pending.clear()
 
-        for it in range(start_iter, tot_iter):
-            rs, metrics = self._train_step(rs)
-            pending.append((it, metrics))
-            self.tot_timesteps += self.num_steps * self.env.num_envs
-            self.current_iteration = it + 1
+        do_save = bool(self.log_dir and self.save_interval)
+        do_eval = bool(self.evaluator is not None and self.is_cts
+                       and self.eval_interval)
 
-            need_save = (self.log_dir and self.save_interval
-                         and it % self.save_interval == 0)
-            need_eval = (self.evaluator is not None and self.is_cts
-                         and it % self.eval_interval == 0)
-            flush = (sync_mode or it % log_every == log_every - 1
-                     or it == tot_iter - 1 or need_save or need_eval)
-            if flush:
+        def _next_boundary(i):
+            """Earliest iteration >= i at which a save/eval must fire; chunks
+            are sized to END there so checkpoint cadence and naming are
+            identical to the per-iteration loop (model_<boundary> holds the
+            params after completing step <boundary>)."""
+            b = tot_iter - 1
+            if do_save:
+                b = min(b, i + (-i) % self.save_interval)
+            if do_eval:
+                b = min(b, i + (-i) % self.eval_interval)
+            return b
+
+        prev = None               # (first_it, c, mat_device, meta)
+        it = start_iter
+        while it < tot_iter:
+            c = min(chunk, tot_iter - it, _next_boundary(it) - it + 1)
+            (rs, mat), meta = run_chunk(rs, c)    # async dispatch
+            self.tot_timesteps += self.num_steps * self.env.num_envs * c
+            first_it = it
+            last_it = it + c - 1
+            it += c
+            self.current_iteration = it
+            need_save = do_save and last_it % self.save_interval == 0
+            need_eval = do_eval and last_it % self.eval_interval == 0
+            # process the PREVIOUS chunk while this one executes on-device
+            if prev is not None:
+                _process(*prev)
+            prev = (first_it, c, mat, meta)
+            if need_save or need_eval or sync_mode or it >= tot_iter:
                 jax.block_until_ready(rs.train_state)
-                now = time.time()
-                dt_iter = (now - t_window) / len(pending)
-                self.tot_time += now - t_window
-                t_window = now
-                _drain(dt_iter)
+                _process(*prev)
+                prev = None
             if need_save:
-                self.save(rs, os.path.join(self.log_dir, f"model_{it}"))
+                self.save(rs, os.path.join(self.log_dir, f"model_{last_it}"))
             if need_eval:
-                self._submit_eval(rs, it)
-            if flush and self.evaluator is not None and self.writer:
+                self._submit_eval(rs, last_it)
+            if prev is None and self.evaluator is not None and self.writer:
                 for eit, scores in self.evaluator.poll().items():
                     for k, v in scores.items():
                         if isinstance(v, (int, float)):
                             self.writer.add_scalar(f"Eval/{k}", v, eit)
             if need_save or need_eval:
                 t_window = time.time()   # exclude save/eval from timing
+        if prev is not None:
+            _process(*prev)
         if self.log_dir:
             self.save(rs, os.path.join(self.log_dir,
                                        f"model_{self.current_iteration}"))
@@ -463,10 +537,15 @@ class OnPolicyRunner:
         import orbax.checkpoint as ocp
         ckptr = ocp.PyTreeCheckpointer()
         path = os.path.abspath(path)
-        if not os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA")):
+        # completeness probe: orbax 0.11.x writes _CHECKPOINT_METADATA, older
+        # layouts _METADATA; if neither exists let ckptr.metadata() below be
+        # the authority rather than rejecting a valid checkpoint (ADVICE r4)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"no checkpoint directory at {path}")
+        if (os.path.exists(path + ".orbax-checkpoint-tmp")
+                or not os.listdir(path)):
             raise FileNotFoundError(
-                f"no complete checkpoint at {path} (missing "
-                "_CHECKPOINT_METADATA — wrong path, or a save in progress)")
+                f"checkpoint at {path} is empty or mid-save")
         # restore as plain numpy: the stored shardings name the devices of
         # the SAVING process (e.g. a TPU) and fail to resolve anywhere else
         meta = ckptr.metadata(path)

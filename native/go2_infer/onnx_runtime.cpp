@@ -124,6 +124,7 @@ static int64_t signed_varint(uint64_t v) {
 
 struct Attr {
   float f = 0.f;
+  bool has_f = false;
   int64_t i = 0;
   std::vector<int64_t> ints;
 };
@@ -185,9 +186,21 @@ static bool parse_attr(Slice s, std::string* name, Attr* a) {
   Slice nm;
   if (!m.first_sub(1, &nm)) return false;
   *name = sub_str(nm);
+  a->has_f = m.f32s.count(2) > 0;
   a->f = m.first_f32(2, 0.f);
   a->i = signed_varint(m.first_int(3, 0));
+  // repeated int64 ints: unpacked (wiretype 0) or packed (wiretype 2 —
+  // torch-exported models use packed; ADVICE r4)
   for (uint64_t v : m.get_ints(8)) a->ints.push_back(signed_varint(v));
+  for (const Slice& packed : m.get_subs(8)) {
+    Slice ps = packed;
+    size_t i = 0;
+    while (i < ps.n) {
+      uint64_t v;
+      if (!read_varint(ps, i, &v)) return false;
+      a->ints.push_back(signed_varint(v));
+    }
+  }
   return true;
 }
 
@@ -273,6 +286,23 @@ static bool load_graph_impl(const std::string& path, Graph* g) {
   for (const Slice& s : gm.get_subs(1)) {
     Node n;
     if (!parse_node(s, &n)) return false;
+    // Load-time attribute validation (ADVICE r4): go2_policy_load dispatches
+    // any .onnx path here, so a foreign-but-valid model with semantics this
+    // executor does not implement must be REJECTED at load, not silently
+    // mis-executed.
+    if (n.op == "Gemm") {
+      auto it = n.attrs.find("transB");
+      if (it == n.attrs.end() || it->second.i != 1) return false;
+      it = n.attrs.find("transA");
+      if (it != n.attrs.end() && it->second.i != 0) return false;
+      it = n.attrs.find("alpha");
+      if (it != n.attrs.end() && it->second.has_f && it->second.f != 1.f)
+        return false;
+      it = n.attrs.find("beta");
+      if (it != n.attrs.end() && it->second.has_f && it->second.f != 1.f)
+        return false;
+      if (n.inputs.size() < 3) return false;  // bias-less Gemm unsupported
+    }
     g->nodes.push_back(std::move(n));
   }
   for (const Slice& s : gm.get_subs(11)) {
@@ -320,11 +350,14 @@ bool run_graph(const Graph& g, const std::vector<const Tensor*>& inputs,
     Tensor y;
     const std::string& op = n.op;
     if (op == "Gemm") {
-      // x[0] (1, in); x[1] (out, in) [transB=1]; x[2] (out)
+      // x[0] (1, in); x[1] (out, in) [transB=1, validated at load]; x[2] (out)
       const auto& a = x[0]->f;
       const auto& w = x[1]->f;
       const auto& b = x[2]->f;
       size_t out = b.size(), in = a.size();
+      // dimension check (ADVICE r4): a weight sized for a different input
+      // width would read out of bounds / compute garbage
+      if (out == 0 || in == 0 || w.size() != out * in) return false;
       y.f.resize(out);
       for (size_t o = 0; o < out; ++o) {
         const float* row = w.data() + o * in;
@@ -357,13 +390,20 @@ bool run_graph(const Graph& g, const std::vector<const Tensor*>& inputs,
       // axis-1 gather on a (1, D) row (or axis-0 on a 1-D index list)
       const Tensor& data = *x[0];
       const Tensor& ind = *x[1];
+      // index bounds check (ADVICE r4): reject instead of reading OOB
       if (data.is_int) {
         y.is_int = true;
         y.idx.reserve(ind.idx.size());
-        for (int64_t i : ind.idx) y.idx.push_back(data.idx[i]);
+        for (int64_t i : ind.idx) {
+          if (i < 0 || static_cast<size_t>(i) >= data.idx.size()) return false;
+          y.idx.push_back(data.idx[i]);
+        }
       } else {
         y.f.reserve(ind.idx.size());
-        for (int64_t i : ind.idx) y.f.push_back(data.f[i]);
+        for (int64_t i : ind.idx) {
+          if (i < 0 || static_cast<size_t>(i) >= data.f.size()) return false;
+          y.f.push_back(data.f[i]);
+        }
       }
     } else if (op == "Concat") {
       for (const Tensor* t : x) y.f.insert(y.f.end(), t->f.begin(), t->f.end());

@@ -19,6 +19,9 @@ def main():
     p.add_argument("--policy", required=True, help="TorchScript policy path")
     p.add_argument("--scenes", nargs="+", default=["flat"])
     p.add_argument("--duration", type=float, default=8.0)
+    p.add_argument("--extended", action="store_true",
+                   help="12-command sweep per scene (3x the base 4-command "
+                        "sweep; VERDICT r4 weak#7 sample size)")
     p.add_argument("--out", default=None, help="write YAML results here")
     args = p.parse_args()
 
@@ -26,7 +29,9 @@ def main():
 
     scores = mujoco_eval.evaluate_policy(
         lambda: mujoco_eval.TorchPolicy(args.policy),
-        scenes=args.scenes, duration_s=args.duration)
+        scenes=args.scenes, duration_s=args.duration,
+        commands=(mujoco_eval.EXTENDED_COMMANDS if args.extended
+                  else mujoco_eval.BASE_COMMANDS))
     print(json.dumps(scores, indent=2))
     if args.out:
         import yaml

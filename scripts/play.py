@@ -15,6 +15,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--task", default="go2_moe_cts")
+    p.add_argument("--experiment_name", default=None,
+                   help="override the experiment dir under log_root "
+                        "(reference helpers.py flag schema)")
     p.add_argument("--load_run", default=-1)
     p.add_argument("--checkpoint", type=int, default=-1)
     p.add_argument("--log_root", default=os.path.join(
@@ -50,7 +53,8 @@ def main():
     runner = registry.make_runner(args.task, env, train_cfg, log_root=None)
     rs = runner.init_runner_state(jax.random.PRNGKey(0))
 
-    run_root = os.path.join(args.log_root, train_cfg.runner.experiment_name)
+    run_root = os.path.join(args.log_root, args.experiment_name
+                            or train_cfg.runner.experiment_name)
     path = get_load_path(run_root, args.load_run, args.checkpoint)
     print(f"loading {path}")
     # params-only restore: training checkpoints carry env-count-shaped state

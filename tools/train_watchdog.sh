@@ -5,30 +5,57 @@
 # metrics.jsonl goes stale for >6 minutes. Exact orbax resume makes the
 # restart lossless back to the last save_interval.
 #
-# Usage: tools/train_watchdog.sh <task> <num_envs> <target_total_iters> <run_name>
+# Both probes are scoped to run directories whose name ends in _$RUN_NAME
+# (each restart creates a fresh <date>_$RUN_NAME dir) so an unrelated older
+# run in the same experiment can neither satisfy the target early nor be
+# resumed from by mistake (ADVICE r4).
+#
+# Usage: tools/train_watchdog.sh <task> <num_envs> <target_total_iters> <run_name> [extra train.py args...]
 set -u
-TASK=$1; ENVS=$2; TARGET=$3; RUN_NAME=$4
+TASK=$1; ENVS=$2; TARGET=$3; RUN_NAME=$4; shift 4
 cd "$(dirname "$0")/.."
-EXP_DIR="logs/$TASK"
+# EXP_NAME env var overrides the experiment dir (default: task name) — used
+# by the per-family sweeps to train FRESH in an empty experiment instead of
+# bootstrapping from an older run of the same task
+EXP_NAME="${EXP_NAME:-$TASK}"
+EXP_DIR="logs/$EXP_NAME"
 
 latest_ckpt_iter() {
   # completed checkpoints only (skip orbax .orbax-checkpoint-tmp dirs)
-  ls -d $EXP_DIR/*/model_* 2>/dev/null | grep -E 'model_[0-9]+$' \
+  find "$EXP_DIR" -maxdepth 2 -path "*_${RUN_NAME}/model_*" -name 'model_*' \
+      2>/dev/null | grep -E 'model_[0-9]+$' \
     | sed 's/.*model_//' | sort -n | tail -1
 }
 
+global_ckpt_iter() {
+  # bootstrap case: continuing an earlier chain under a NEW run name — the
+  # trainer's own --resume resolution (get_load_path, newest run with
+  # checkpoints) does the cross-run resume; this just sizes REMAIN.
+  find "$EXP_DIR" -maxdepth 2 -name 'model_*' 2>/dev/null \
+    | grep -E 'model_[0-9]+$' | sed 's/.*model_//' | sort -n | tail -1
+}
+
+newest_metrics() {
+  ls -t "$EXP_DIR"/*_"$RUN_NAME"/metrics.jsonl 2>/dev/null | head -1
+}
+
 while true; do
-  LAST=$(latest_ckpt_iter); LAST=${LAST:-0}
+  LAST=$(latest_ckpt_iter)
+  RESUME_FLAG="--resume"
+  if [ -z "$LAST" ]; then
+    LAST=$(global_ckpt_iter)
+    if [ -z "$LAST" ]; then LAST=0; RESUME_FLAG=""; fi
+  fi
   REMAIN=$((TARGET - LAST))
   if [ "$REMAIN" -le 0 ]; then echo "watchdog: target $TARGET reached"; break; fi
   echo "watchdog: starting (resume from $LAST, $REMAIN to go)"
   python scripts/train.py --task "$TASK" --num_envs "$ENVS" \
-      --max_iterations "$REMAIN" --headless --experiment_name "$TASK" \
-      --run_name "$RUN_NAME" --resume &
+      --max_iterations "$REMAIN" --headless --experiment_name "$EXP_NAME" \
+      --run_name "$RUN_NAME" $RESUME_FLAG "$@" &
   PID=$!
   while kill -0 $PID 2>/dev/null; do
     sleep 60
-    NEWEST=$(ls -t $EXP_DIR/*/metrics.jsonl 2>/dev/null | head -1)
+    NEWEST=$(newest_metrics)
     if [ -n "$NEWEST" ]; then
       AGE=$(( $(date +%s) - $(stat -c %Y "$NEWEST") ))
       if [ "$AGE" -gt 360 ]; then
