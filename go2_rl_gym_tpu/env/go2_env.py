@@ -802,11 +802,18 @@ class Go2Env:
                       & jnp.isfinite(sim.base_quat).all(axis=1)
                       & jnp.isfinite(sim.qd).all(axis=1)
                       & (jnp.abs(sim.base_pos) < 1e4).all(axis=1)
-                      # unphysical speeds (a Go2 peaks ~5 m/s): a solver
+                      # unphysical speeds (a Go2 peaks ~5 m/s; pushes add
+                      # ~1.5, tower drops ~6, flips ~13 rad/s): a solver
                       # blow-up must terminate the episode immediately or a
-                      # flying robot poisons the batch rewards for seconds
-                      & (jnp.abs(sim.base_lin_vel) < 30.0).all(axis=1)
-                      & (jnp.abs(sim.base_ang_vel) < 60.0).all(axis=1))
+                      # flying robot poisons the batch rewards for seconds.
+                      # These thresholds MUST sit below the engine's
+                      # SimParams.max_*_velocity clamps (25 m/s / 50 rad/s),
+                      # otherwise a clamped runaway state cruises forever at
+                      # the clamp without ever tripping the failsafe —
+                      # exactly the correct_base_height reward-poisoning
+                      # episodes seen early in the r5 flagship run
+                      & (jnp.abs(sim.base_lin_vel) < 12.0).all(axis=1)
+                      & (jnp.abs(sim.base_ang_vel) < 30.0).all(axis=1))
         # a base driven below the terrain surface is an invalid state the
         # top-K contact set may fail to report as base contact (all K slots
         # taken by deeper leg geoms) — treat as termination

@@ -31,7 +31,18 @@ class AsyncEvaluator:
         self.python = python or sys.executable
         self._jobs: List[tuple] = []   # (iteration, Popen, out_path)
 
+    # max concurrent eval subprocesses: an eval can take longer than the
+    # submit cadence, and an unbounded queue starves the host CPU (observed:
+    # 13 piled-up workers within 30 min of the r5 flagship). Newer
+    # submissions are DROPPED when the cap is hit — this is a monitoring
+    # signal, freshest-wins, same spirit as the reference running RoboGauge
+    # on a sampled subset of checkpoints.
+    max_pending = 3
+
     def submit(self, policy_path: str, iteration: int):
+        running = sum(1 for _, p, _ in self._jobs if p.poll() is None)
+        if running >= self.max_pending:
+            return
         out = os.path.join(self.results_dir, f"results_{iteration}.yaml")
         script = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), "scripts", "evaluate.py")
