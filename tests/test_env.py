@@ -228,3 +228,23 @@ def test_per_terrain_command_caps_clip(rough_env):
     cmd = np.asarray(s2.commands)
     assert (np.abs(cmd[:, 0]) <= caps[tid, 0, 1] + 1e-5).all()
     assert (np.abs(cmd[:, 1]) <= caps[tid, 1, 1] + 1e-5).all()
+
+
+def test_velocity_failsafe_below_engine_clamps(plane_env):
+    """A solver blow-up is CLAMPED by the engine at SimParams.max_*_velocity,
+    so the env's bad-state failsafe must trip strictly BELOW those clamps —
+    otherwise a runaway env cruises at the clamp forever, never terminates,
+    and poisons the batch with unbounded correct_base_height penalties (the
+    r5 flagship reward-collapse incident)."""
+    env = plane_env
+    key = jax.random.PRNGKey(3)
+    s = env.init_state(key)
+    s, _ = env.step(s, jnp.zeros((env.num_envs, 12)))
+    # inject a base velocity AT the engine clamp into env 0
+    clamp_v = env.sim_params.max_linear_velocity
+    lin = s.sim.base_lin_vel.at[0, 0].set(clamp_v)
+    s = s._replace(sim=s.sim._replace(base_lin_vel=lin))
+    s2, out = env.step(s, jnp.zeros((env.num_envs, 12)))
+    assert bool(out.done[0]), (
+        f"env at the engine velocity clamp ({clamp_v} m/s) must hit the "
+        "bad-state failsafe and terminate")

@@ -151,3 +151,23 @@ def test_load_params_across_env_counts(tmp_path):
         np.testing.assert_allclose(got_leaves[jax.tree_util.keystr(p)],
                                    np.asarray(v), atol=0,
                                    err_msg=jax.tree_util.keystr(p))
+
+
+def test_learn_chunk_alignment_unaligned_start(tmp_path):
+    """Chunked dispatch must keep EXACT save cadence/naming when the start
+    iteration is not aligned to save_interval (the resume-after-watchdog
+    case: e.g. resume at 50001 with saves every 500). Chunks are sized to
+    END at each boundary, so model_<N> always holds the params after
+    completing step N (runner._next_boundary)."""
+    tc = go2_ppo_train_cfg()
+    tc.runner.num_steps_per_env = 4
+    tc.runner.save_interval = 4
+    env = tiny_env()
+    runner = OnPolicyRunner(env, tc, log_dir=str(tmp_path))
+    rs = runner.init_runner_state(jax.random.PRNGKey(0))
+    runner.current_iteration = 3          # unaligned resume point
+    runner.learn(rs, 7, log_every=4, print_every=100)
+    # iterations 3..9 run; save boundaries hit at 4 and 8; final at 10
+    saves = sorted(int(d.split("_")[1]) for d in os.listdir(str(tmp_path))
+                   if d.startswith("model_"))
+    assert saves == [4, 8, 10], saves

@@ -53,16 +53,27 @@ while true; do
       --max_iterations "$REMAIN" --headless --experiment_name "$EXP_NAME" \
       --run_name "$RUN_NAME" $RESUME_FLAG "$@" &
   PID=$!
+  START=$(date +%s)
   while kill -0 $PID 2>/dev/null; do
     sleep 60
     NEWEST=$(newest_metrics)
+    NOW=$(date +%s)
+    # Staleness is judged against max(newest metrics write, process start):
+    # a metrics file from a PREVIOUS run segment must not count against a
+    # fresh child that is still compiling (a config change invalidates the
+    # XLA compilation cache and a cold compile takes ~10 min).
+    REF=$START
     if [ -n "$NEWEST" ]; then
-      AGE=$(( $(date +%s) - $(stat -c %Y "$NEWEST") ))
-      if [ "$AGE" -gt 360 ]; then
-        echo "watchdog: metrics stale ${AGE}s — killing $PID for restart"
-        kill "$PID" 2>/dev/null; sleep 5; kill -9 "$PID" 2>/dev/null
-        break
-      fi
+      MT=$(stat -c %Y "$NEWEST")
+      if [ "$MT" -gt "$REF" ]; then REF=$MT; fi
+    fi
+    AGE=$((NOW - REF))
+    LIMIT=360
+    if [ "$REF" = "$START" ]; then LIMIT=1500; fi   # compile grace
+    if [ "$AGE" -gt "$LIMIT" ]; then
+      echo "watchdog: stale ${AGE}s (limit $LIMIT) — killing $PID for restart"
+      kill "$PID" 2>/dev/null; sleep 5; kill -9 "$PID" 2>/dev/null
+      break
     fi
   done
   wait $PID 2>/dev/null
