@@ -29,7 +29,9 @@ def get_load_path(root: str, load_run=-1, checkpoint: int = -1) -> str:
     Checkpoints are orbax directories named model_<iter>."""
     runs = sorted(os.listdir(root)) if os.path.isdir(root) else []
     runs = [r for r in runs if os.path.isdir(os.path.join(root, r))]
-    if load_run == -1:
+    # CLI flags arrive as strings: "--load_run -1" must mean "latest" just
+    # like the int default (reference helpers.py accepts both)
+    if load_run in (-1, "-1"):
         candidates = [r for r in runs
                       if any(d.startswith("model_")
                              for d in os.listdir(os.path.join(root, r)))]

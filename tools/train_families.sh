@@ -19,7 +19,7 @@ for TASK in go2_cts go2_moe_ng_cts go2_mcp_cts go2_ac_moe_cts go2_dual_moe_cts; 
   # export + evaluate on CPU concurrently with the next family's training
   (
     python scripts/play.py --task "$TASK" --platform cpu \
-        --experiment_name "$EXP" --log_root logs --load_run -1 --steps 0 \
+        --experiment_name "$EXP" --log_root logs --steps 0 \
         2>&1 | tail -5 > "logs/$EXP/export.log"
     JIT=$(ls -t logs/$EXP/*/exported/policies/policy_jit*.pt 2>/dev/null | head -1)
     if [ -n "$JIT" ]; then
