@@ -37,6 +37,20 @@ import numpy as np
 
 PATCH = 32
 
+# Slopes above this are risers/cliffs, not walkable inclines: the reference
+# corrects them to VERTICAL surfaces when converting the heightfield to the
+# PhysX trimesh (legged_robot_config.py:40 `slope_treshold = 0.75`,
+# terrain.py:49 via isaacgym's convert_heightfield_to_trimesh), so ascending
+# feet there push against flat treads + vertical walls. Our heightfield
+# contact applies the same correction to the slope channels at build time:
+# wherever any ONE-CELL height jump exceeds this grade, the surface is a
+# riser and its contact normal snaps to vertical (the tread). Without it, a
+# stair riser presents as a central-difference slope of step/(2*scale)
+# (level 5: 40 deg, level 7: 47 deg) and every ascent contact fights a
+# tilted friction cone — measured as the stairs_up terrain level pinning at
+# ~3 while stairs_down reached 6.7 (STATUS r5).
+RISER_SLOPE_THRESHOLD = 0.75
+
 
 _LANE = 128     # TPU lane count: minor-dim DMA offsets must be 128-aligned
 _SUB = 8        # f32 sublane tiling: dim-1 DMA offsets must be 8-aligned
@@ -68,6 +82,17 @@ def build_channels(height_m: np.ndarray, horizontal_scale: float) -> np.ndarray:
     pad = np.pad(hmin, 1, mode="edge")
     dx = (pad[2:, 1:-1] - pad[:-2, 1:-1]) / (2 * horizontal_scale)
     dy = (pad[1:-1, 2:] - pad[1:-1, :-2]) / (2 * horizontal_scale)
+    # riser snap (see RISER_SLOPE_THRESHOLD): detection must use ONE-CELL
+    # jumps — the centered difference halves a single-cell riser's grade
+    # (level-3 stairs: 0.119 m/0.2 m = 0.6 < 0.75) and would miss it
+    ddx = np.abs(np.diff(pad, axis=0)) / horizontal_scale    # (R+1, C+2)
+    ddy = np.abs(np.diff(pad, axis=1)) / horizontal_scale    # (R+2, C+1)
+    riser = ((np.maximum(ddx[:-1, 1:-1], ddx[1:, 1:-1])
+              > RISER_SLOPE_THRESHOLD)
+             | (np.maximum(ddy[1:-1, :-1], ddy[1:-1, 1:])
+                > RISER_SLOPE_THRESHOLD))
+    dx = np.where(riser, 0.0, dx).astype(np.float32)
+    dy = np.where(riser, 0.0, dy).astype(np.float32)
     # (3, C, R): x (rows of the heightfield) minor — matches the layout XLA
     # picks for the fast windowed-slice lowering, so no in-context relayout
     ch = np.ascontiguousarray(np.stack([hmin, dx, dy], axis=0)

@@ -202,15 +202,30 @@ def terrain_height(terrain: TerrainData, xy: jax.Array) -> jax.Array:
 
 
 def terrain_normal(terrain: TerrainData, xy: jax.Array) -> jax.Array:
-    """Surface normal from central differences of the heightfield."""
+    """Surface normal from central differences of the heightfield.
+
+    Applies the riser snap (see ops/terrain_patches.RISER_SLOPE_THRESHOLD):
+    where any one-cell height jump exceeds the threshold the surface is a
+    riser/cliff whose walkable contact is the flat tread, so the normal is
+    vertical — mirroring the reference's heightfield->trimesh slope
+    correction (legged_robot_config.py:40, terrain.py:49)."""
     if terrain.is_flat:
         n = jnp.zeros(xy.shape[:-1] + (3,), xy.dtype)
         return n.at[..., 2].set(1.0)
+    from go2_rl_gym_tpu.ops import terrain_patches as tp
     s = terrain.horizontal_scale
-    dx = (terrain_height(terrain, xy + jnp.array([s, 0.0])) -
-          terrain_height(terrain, xy - jnp.array([s, 0.0]))) / (2 * s)
-    dy = (terrain_height(terrain, xy + jnp.array([0.0, s])) -
-          terrain_height(terrain, xy - jnp.array([0.0, s]))) / (2 * s)
+    h0 = terrain_height(terrain, xy)
+    hxp = terrain_height(terrain, xy + jnp.array([s, 0.0]))
+    hxm = terrain_height(terrain, xy - jnp.array([s, 0.0]))
+    hyp = terrain_height(terrain, xy + jnp.array([0.0, s]))
+    hym = terrain_height(terrain, xy - jnp.array([0.0, s]))
+    dx = (hxp - hxm) / (2 * s)
+    dy = (hyp - hym) / (2 * s)
+    jump = jnp.maximum(jnp.maximum(jnp.abs(hxp - h0), jnp.abs(h0 - hxm)),
+                       jnp.maximum(jnp.abs(hyp - h0), jnp.abs(h0 - hym))) / s
+    riser = jump > tp.RISER_SLOPE_THRESHOLD
+    dx = jnp.where(riser, 0.0, dx)
+    dy = jnp.where(riser, 0.0, dy)
     n = jnp.stack([-dx, -dy, jnp.ones_like(dx)], axis=-1)
     return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 

@@ -67,15 +67,30 @@ def _terrain_height_t(terrain: TerrainData, x, y):
 
 
 def _terrain_normal_t(terrain: TerrainData, x, y):
-    """x, y: (..., N) -> normals (..., 3, N)."""
+    """x, y: (..., N) -> normals (..., 3, N).
+
+    Centered-difference slope with the riser snap: where any one-cell height
+    jump exceeds tp.RISER_SLOPE_THRESHOLD the surface is a riser/cliff and
+    the contact normal is the vertical tread normal, matching both the
+    channel path (ops/terrain_patches.build_channels) and the reference's
+    heightfield->trimesh slope correction (legged_robot_config.py:40)."""
     if terrain.is_flat:
         n = jnp.zeros(x.shape[:-1] + (3,) + x.shape[-1:])
         return n.at[..., 2, :].set(1.0)
+    from go2_rl_gym_tpu.ops import terrain_patches as tp
     s = terrain.horizontal_scale
-    dx = (_terrain_height_t(terrain, x + s, y)
-          - _terrain_height_t(terrain, x - s, y)) / (2 * s)
-    dy = (_terrain_height_t(terrain, x, y + s)
-          - _terrain_height_t(terrain, x, y - s)) / (2 * s)
+    h0 = _terrain_height_t(terrain, x, y)
+    hxp = _terrain_height_t(terrain, x + s, y)
+    hxm = _terrain_height_t(terrain, x - s, y)
+    hyp = _terrain_height_t(terrain, x, y + s)
+    hym = _terrain_height_t(terrain, x, y - s)
+    dx = (hxp - hxm) / (2 * s)
+    dy = (hyp - hym) / (2 * s)
+    jump = jnp.maximum(jnp.maximum(jnp.abs(hxp - h0), jnp.abs(h0 - hxm)),
+                       jnp.maximum(jnp.abs(hyp - h0), jnp.abs(h0 - hym))) / s
+    riser = jump > tp.RISER_SLOPE_THRESHOLD
+    dx = jnp.where(riser, 0.0, dx)
+    dy = jnp.where(riser, 0.0, dy)
     n = jnp.stack([-dx, -dy, jnp.ones_like(dx)], axis=-2)
     return n / tm.norm(n)[..., None, :]
 

@@ -68,15 +68,70 @@ def test_lookup_clamps_out_of_patch():
 
 
 def test_build_channels_min_of_three():
-    h = np.arange(12, dtype=np.float32).reshape(3, 4)
+    h = np.arange(12, dtype=np.float32).reshape(3, 4) * 0.005
     ch = tp.build_channels(h, 0.1)                           # (3, C', R')
-    # hmin at (x=0, y=0): min(h[0,0], h[1,0], h[0,1]) = min(0, 4, 1) = 0
+    # hmin at (x=0, y=0): min(h[0,0], h[1,0], h[0,1]) = min(0, .02, .005) = 0
     assert ch[0, 0, 0] == 0.0
     # slopes are CENTERED differences of hmin (matching the direct path's
     # _terrain_normal_t): at the x=0 edge, (hmin[1,0]-hmin[0,0])/(2*0.1)
-    # with edge padding; hmin[1,0] = min(4, 8, 5) = 4 -> dx = 20
-    np.testing.assert_allclose(ch[1, 0, 0], 20.0)
-    # dy: (hmin[0,1]-hmin[0,0])/(2*0.1); hmin[0,1] = min(1, 5, 2) = 1 -> 5
-    np.testing.assert_allclose(ch[2, 0, 0], 5.0)
+    # with edge padding; hmin[1,0] = min(.02, .04, .025) = .02 -> dx = 0.1
+    np.testing.assert_allclose(ch[1, 0, 0], 0.1, atol=1e-6)
+    # dy: (hmin[0,1]-hmin[0,0])/(2*0.1); hmin[0,1] = min(.005,.025,.01)=.005
+    np.testing.assert_allclose(ch[2, 0, 0], 0.025, atol=1e-6)
     # padded region replicates the edge values
     np.testing.assert_allclose(ch[0, 3, 2], ch[0, -1, -1])
+
+
+def test_build_channels_riser_snap():
+    """One-cell jumps above RISER_SLOPE_THRESHOLD (the reference's trimesh
+    slope correction, legged_robot_config.py:40) zero the slope channels —
+    stair risers present the vertical tread normal — while walkable slopes
+    keep their centered-difference gradient."""
+    s = 0.1
+    # stairs along x: 3-cell treads, 0.12 m risers (level-3 class) — a
+    # one-cell grade of 1.2 > 0.75, but a CENTERED grade of only 0.6
+    R, C = 24, 8
+    h = np.repeat(np.arange(R // 3, dtype=np.float32) * 0.12, 3)[:, None]
+    h = np.broadcast_to(h, (R, C)).copy()
+    ch = tp.build_channels(h, s)                             # (3, C', R')
+    hmin = np.minimum(np.minimum(h, np.vstack([h[1:], h[-1:]])), h)
+    # cells adjacent to a riser (one-cell jump 1.2): slope channels snap to 0
+    jump = np.abs(np.diff(np.pad(hmin[:, 4], 1, mode="edge"))) / s
+    riser_cells = np.maximum(jump[:-1], jump[1:]) > tp.RISER_SLOPE_THRESHOLD
+    assert riser_cells.any()
+    np.testing.assert_array_equal(ch[1, 4, :R][riser_cells], 0.0)
+    np.testing.assert_array_equal(ch[2, 4, :R][riser_cells], 0.0)
+    # a 0.4-grade slope (walkable; reference slopes stay below 0.75*scale
+    # per cell) is untouched
+    hs = (np.arange(R, dtype=np.float32) * 0.04)[:, None]
+    hs = np.broadcast_to(hs, (R, C)).copy()
+    chs = tp.build_channels(hs, s)
+    np.testing.assert_allclose(chs[1, 4, 2:R - 2], 0.4, atol=1e-5)
+
+
+def test_direct_normal_matches_channels_at_riser():
+    """tengine._terrain_normal_t applies the same riser snap as the channel
+    path: vertical at risers, tilted on real slopes."""
+    from go2_rl_gym_tpu.sim.engine import make_terrain_data, terrain_normal
+    from go2_rl_gym_tpu.sim.tengine import _terrain_normal_t
+    s = 0.1
+    R, C = 24, 16
+    h = np.repeat(np.arange(R // 3, dtype=np.float32) * 0.12, 3)[:, None]
+    h = np.broadcast_to(h, (R, C)).copy()
+    terrain = make_terrain_data(h, s, border_size=0.0)
+    # query a point whose cell straddles a riser (cell 2 -> jump to cell 3)
+    x = jnp.asarray([[0.25, 0.15]])          # (1, N=2): riser cell, tread cell
+    y = jnp.asarray([[0.55, 0.55]])
+    n = np.asarray(_terrain_normal_t(terrain, x, y))[0]      # (3, 2)
+    np.testing.assert_allclose(n[:, 0], [0.0, 0.0, 1.0], atol=1e-6)
+    # the oracle engine path agrees
+    n2 = np.asarray(terrain_normal(terrain, jnp.asarray([[0.25, 0.55]])))[0]
+    np.testing.assert_allclose(n2, [0.0, 0.0, 1.0], atol=1e-6)
+    # walkable slope: unchanged tilted normal on both paths
+    hs = (np.arange(R, dtype=np.float32) * 0.04)[:, None]
+    hs = np.broadcast_to(hs, (R, C)).copy()
+    ts = make_terrain_data(hs, s, border_size=0.0)
+    ns = np.asarray(_terrain_normal_t(ts, jnp.asarray([[1.0]]),
+                                      jnp.asarray([[0.8]])))[0, :, 0]
+    expect = np.array([-0.4, 0.0, 1.0]) / np.linalg.norm([-0.4, 0.0, 1.0])
+    np.testing.assert_allclose(ns, expect, atol=1e-5)
