@@ -69,7 +69,13 @@ while true; do
     fi
     AGE=$((NOW - REF))
     LIMIT=360
-    if [ "$REF" = "$START" ]; then LIMIT=1500; fi   # compile grace
+    # Compile grace: a fresh child logs iteration 0 quickly (eager init)
+    # and THEN cold-compiles the big chunked train-step graph (>6 min
+    # after an engine change invalidates the XLA cache). That it-0
+    # metrics write must not cancel the grace — so the grace holds for
+    # the child's first 1500 s unconditionally, not just while the
+    # metrics file predates the child.
+    if [ $((NOW - START)) -lt 1500 ]; then LIMIT=1500; fi
     if [ "$AGE" -gt "$LIMIT" ]; then
       echo "watchdog: stale ${AGE}s (limit $LIMIT) — killing $PID for restart"
       kill "$PID" 2>/dev/null; sleep 5; kill -9 "$PID" 2>/dev/null
